@@ -1,0 +1,57 @@
+"""Table catalog over the parquet star schema (TESTDATA.md).
+
+The reference resolves its two inputs imperatively at runtime (S3 JSON
+via boto3+pandas, RDS via a Glue DynamicFrame —
+``/root/reference/gule_test_job.py:54-94``). The engine instead exposes
+a declarative catalog: every table is a lazily-loaded parquet
+DataFrame, so Catalyst sees the full plan (column pruning + predicate
+pushdown reach the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables — always broadcast-join these against facts.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Parquet scan → pushdown/pruning come free.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    refuses to map to TimestampType; read it as raw nanos
+    (``nanosAsLong``) and truncate to microseconds — the identical
+    ns→us truncation DuckDB applies when it reads the same file.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,184 @@
+"""Scalable near-duplicate detection (north-star extension surface):
+MinHash + LSH banding and SimHash — the 100 TB-scale path whose exact
+verification stage is the n-gram Jaccard join (queries/text.py q23).
+
+Everything is built-in expressions (xxhash64, explode, groupBy min,
+self-join on band buckets): no UDFs, map-side combinable, one shuffle
+per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as X
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, minhash_0..minhash_{k-1}) — min over shingles of seeded
+    xxhash64. The seed-per-permutation trick replaces k independent
+    hash functions; min-aggregation is map-side combinable so shuffle
+    volume is #docs × k longs regardless of corpus size.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(X.word_shingles(text_col, shingle_n)).alias("sh")
+    ).distinct()
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature (rows = num_perm/bands), hash each band, and
+    self-join docs sharing any band bucket → candidate pairs
+    (doc_a < doc_b, distinct).
+
+    Scale notes: the join key is (band_id, band_hash) — high
+    cardinality, so no hot keys; banding keeps the candidate set linear
+    in the number of true near-duplicates rather than quadratic in
+    corpus size.
+    """
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("band_hash"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhash slots, computed
+    for candidate pairs only (broadcast-friendly join back to sigs)."""
+    sig_a = signatures.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_perm)],
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_perm)],
+    )
+    joined = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
+    agree = sum(
+        (F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_perm)),
+        F.lit(0),
+    )
+    return joined.select(
+        "doc_a", "doc_b", (agree / F.lit(num_perm)).alias("est_jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash fingerprint: per shingle-hash bit, vote +1/-1 weighted by
+    presence; fingerprint bit b = 1 iff the vote sum is >= 0.
+
+    Implemented as explode(shingles) × explode(bits) → groupBy(id, bit)
+    vote-sum → reassemble via shiftleft+sum: three narrow shuffles, all
+    combinable. Near-dup pairs = fingerprints within small Hamming
+    distance (checked via xor+bit_count).
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(X.word_shingles(text_col, shingle_n)).alias("sh")
+    ).distinct()
+    h = sh.select(id_col, F.xxhash64("sh").alias("h"))
+    bitted = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).select(
+        id_col,
+        "bit",
+        # shiftright/shiftleft take a literal int in the python API;
+        # the SQL forms accept column bit positions.
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias(
+            "vote"
+        ),
+    )
+    votes = bitted.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Pairs within Hamming distance via block-split LSH: split the
+    fingerprint into (max_hamming+1) blocks — any pair within the
+    distance agrees on at least one full block (pigeonhole), so the
+    self-join runs on block equality, never all-pairs."""
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        mask = ((1 << block_bits) - 1) << (i * block_bits)
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.col("simhash").bitwiseAND(F.lit(mask)).alias("block_val"),
+            )
+        )
+    exploded = fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("b")
+    ).select(id_col, "simhash", "b.block_id", "b.block_val")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

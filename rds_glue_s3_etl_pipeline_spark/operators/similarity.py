@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (north-star extension):
+brute-force cosine top-k as the exact baseline, and random-hyperplane
+LSH bucketing as the 100 TB scale path (candidates only within a
+bucket).
+
+The hyperplanes are pseudo-random but fully deterministic: component
+(plane p, dim d) is derived from xxhash64(p, d) mapped to [-1, 1] —
+reproducible across runs with zero driver-side state to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import vector as V
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the corpus,
+    score with zip_with/aggregate (JVM, codegen), rank per query.
+
+    One pass over the corpus, no shuffle until the final per-query
+    top-k window over #queries × #corpus scored rows (use a LIMIT-ed
+    query set; for query sets too big to broadcast, use lsh_buckets).
+    """
+    cos = V.cosine(F.col(vec_col), F.col("q_vec"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        embeddings.join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col), F.col(vec_col).alias("q_vec")
+                )
+            ),
+            F.col(id_col) != F.col(query_id_col),
+        )
+        .select(query_id_col, id_col, cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_component(plane: F.Column, dim: F.Column) -> F.Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1]."""
+    h = F.xxhash64(plane, dim)
+    return (h % 10000).cast("double") / 10000.0
+
+
+def lsh_bucket(vec_col, n_planes: int = 8) -> F.Column:
+    """Random-hyperplane LSH bucket id (n_planes sign bits packed into
+    a long). Vectors in the same bucket are cosine-close with high
+    probability; at scale, restrict pair generation to equal buckets.
+    """
+    v = V.as_double_array(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda d: hyperplane_component(F.lit(p), d),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return bucket
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket by hyperplane LSH, then
+    exact cosine only within buckets — the scalable variant of an
+    all-pairs cosine join."""
+    b = embeddings.select(
+        id_col, vec_col, lsh_bucket(F.col(vec_col), n_planes).alias("bucket")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    cos = V.cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

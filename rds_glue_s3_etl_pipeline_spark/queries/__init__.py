@@ -1,0 +1,8 @@
+"""Import every query module so REGISTRY is fully populated."""
+
+from .registry import REGISTRY, QuerySpec, query  # noqa: F401
+from . import relational  # noqa: F401
+from . import merge_ops  # noqa: F401
+from . import events  # noqa: F401
+from . import text  # noqa: F401
+from . import vector  # noqa: F401

@@ -1,0 +1,71 @@
+"""Query registry — the single source of truth behind the driver
+contract (``__spark_entry__.py``).
+
+Every implemented operator from SURVEY.md §2 registers here as a
+callable ``(spark, sf_dir) -> DataFrame`` plus, when SQL-expressible,
+an equivalent ANSI-SQL string the DuckDB oracle runs on the same
+parquet tables.
+
+Oracle-parity rules (learned the hard way, encoded once):
+
+* Alias every computed column identically on both sides — the driver
+  sorts columns by name before hashing.
+* Sums of doubles are order-dependent; both engines must sum EXACTLY.
+  We cast to DECIMAL before SUM (the data carries <=2 decimals, derived
+  products <=6, so DECIMAL(*,8) never hits a rounding tie), then cast
+  the total back to DOUBLE — bit-identical in both engines.
+* Prefer BIGINT epoch-millis (`unix_millis` / `epoch_ms`) or formatted
+  strings over raw timestamps in outputs.
+* Every ORDER BY ... LIMIT carries a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+# Decimal-exact sum helpers (see module docstring).
+DEC = "decimal(24,8)"
+
+
+def dsum(col):
+    """Order-independent exact SUM of a double column: decimal-sum then
+    cast back to double. DuckDB twin: CAST(SUM(CAST(x AS DECIMAL(24,8))) AS DOUBLE).
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def O_DSUM(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(24,8))) AS DOUBLE)"

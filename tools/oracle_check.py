@@ -1,0 +1,133 @@
+"""Local replica of the driver's correctness gate: run every REGISTRY
+query on Spark and its oracle on DuckDB, compare row-count + columns +
+order-insensitive values (exact).
+
+Usage:
+    python tools/oracle_check.py [--sf /root/testdata/sf0.001] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from rds_glue_s3_etl_pipeline_spark.catalog import TABLES  # noqa: E402
+from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY  # noqa: E402
+from rds_glue_s3_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize cell values to canonical python
+    objects, sort rows — mirrors an order-insensitive value compare."""
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("int64")
+        else:
+            pdf[c] = s.astype(object).where(s.notna(), None)
+    if len(pdf) == 0 or len(pdf.columns) == 0:
+        return pdf
+    key = pdf.astype(str).apply(lambda r: "|".join(r), axis=1)
+    pdf = pdf.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
+    return pdf
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count {len(spark_pdf)} vs {len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns {sc} vs {dc}")
+        return problems
+    a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+    if len(a) != len(b):
+        return problems
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if a[c].dtype.kind == "f":
+            both_nan = np.isnan(av) & np.isnan(bv)
+            eq = (av == bv) | both_nan
+            if not eq.all():
+                idx = np.where(~eq)[0][:3]
+                diffs = [(av[i], bv[i]) for i in idx]
+                maxdiff = np.nanmax(np.abs(av - bv))
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, max|diff|={maxdiff:.3e}, e.g. {diffs}"
+                )
+        else:
+            eq = (a[c].astype(str) == b[c].astype(str)).to_numpy()
+            if not eq.all():
+                idx = np.where(~eq)[0][:3]
+                diffs = [(av[i], bv[i]) for i in idx]
+                problems.append(f"col {c}: {int((~eq).sum())} mismatches, e.g. {diffs}")
+    # dtype parity (the driver may compare schemas)
+    ssch = {c: str(spark_pdf[c].dtype) for c in spark_pdf.columns}
+    dsch = {c: str(duck_pdf[c].dtype) for c in duck_pdf.columns}
+    for c in ssch:
+        if ssch[c] != dsch.get(c):
+            problems.append(f"dtype {c}: spark={ssch[c]} duck={dsch.get(c)}")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("oracle_check", cpus=8)
+    con = duck_connect(args.sf)
+    names = args.names or list(REGISTRY)
+    n_fail = 0
+    for name in names:
+        spec = REGISTRY[name]
+        try:
+            sdf = spec.fn(spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"ROWS {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            ddf = con.execute(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({len(sdf)} rows):")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            print(f"OK   {name}: {len(sdf)} rows")
+    print(f"\n{len(names) - n_fail}/{len(names)} passed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
