@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is fully materialized through the noop sink (computes every
+column, writes nothing) so timings measure the whole plan, not a
+count-only shortcut.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY
+from rds_glue_s3_etl_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_customers_by_revenue",
+    "q03_precedence_merge",
+    "q04_unmatched_audit",
+    "q09_window_rank",
+    "q15_asof_join",
+    "q17_tumbling_window",
+    "q18_sessionize",
+    "q22_exact_dedup",
+    "q23_ngram_jaccard_pairs",
+    "q24_cosine_topk",
+    "q25_minhash_lsh_pairs",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    # JVM/codegen warmup on a trivial plan so q-timings measure the query.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

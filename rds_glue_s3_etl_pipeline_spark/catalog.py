@@ -29,22 +29,47 @@ TABLES = (
 # Small dimension tables — always broadcast-join these against facts.
 DIM_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
 
+# Tables that downstream operators do per-row CPU work on (regex,
+# hashing, vector folds) or aggregate at volume.
+FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool | None = None
+) -> DataFrame:
     """Load one table. Parquet scan → pushdown/pruning come free.
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
     refuses to map to TimestampType; read it as raw nanos
     (``nanosAsLong``) and truncate to microseconds — the identical
     ns→us truncation DuckDB applies when it reads the same file.
+
+    The local test files are single-row-group parquet, so a bare scan
+    is ONE task and everything downstream of it runs on one core. On a
+    real cluster the table is thousands of splits and this is a
+    non-issue; locally we round-robin repartition fact tables up to
+    the session's parallelism so per-row work (regex, hashing, vector
+    folds) actually uses the machine. Dimension tables are left alone
+    (they broadcast anyway).
     """
+    # Sessions we didn't build (the driver's) need the same runtime
+    # confs the factory sets: nanos parquet reads and the ICU
+    # case-mapping stall workaround (see session.get_spark).
+    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if parallel is None:
+        parallel = name in FACT_TABLES
+    if parallel:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < min(target, 8):
+            df = df.repartition(target)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -127,6 +127,32 @@ def lang_guess(col) -> Column:
     return F.when(total == 0, F.lit("und")).otherwise(best[1])
 
 
+def exploded_word_shingles(df, text_col: str, id_col: str, n: int = 5):
+    """(id, sh) rows of n-word shingles — the scalable form.
+
+    Why not ``explode(word_shingles(...))``: Spark's higher-order
+    functions (transform/slice lambdas) are CodegenFallback and
+    re-evaluate the tokenizing ``split`` subtree once PER ARRAY
+    ELEMENT, turning an O(tokens) row into O(tokens²) regex work.
+    posexplode evaluates the split exactly once per row, and the
+    shingle assembly is a lag-window over the token stream — all
+    whole-stage-codegen, one shuffle on the doc id that downstream
+    groupBys reuse.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lags = [F.lag("tok", n - 1 - j).over(w) for j in range(n - 1)] + [F.col("tok")]
+    return (
+        tok.select(F.col(id_col), F.col("pos"), F.concat_ws(" ", *lags).alias("sh"))
+        .filter(F.col("pos") >= n - 1)
+        .drop("pos")
+    )
+
+
 def word_shingles(col, n: int = 5) -> Column:
     """Array of n-word shingles (space-joined) — the unit for Jaccard /
     MinHash dedup. Empty array when the doc has fewer than n tokens."""

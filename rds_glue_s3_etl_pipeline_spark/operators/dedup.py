@@ -26,9 +26,7 @@ def minhash_signatures(
     hash functions; min-aggregation is map-side combinable so shuffle
     volume is #docs × k longs regardless of corpus size.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(X.word_shingles(text_col, shingle_n)).alias("sh")
-    ).distinct()
+    sh = X.exploded_word_shingles(docs, text_col, id_col, shingle_n).distinct()
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_perm)
@@ -117,9 +115,7 @@ def simhash(
     combinable. Near-dup pairs = fingerprints within small Hamming
     distance (checked via xor+bit_count).
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(X.word_shingles(text_col, shingle_n)).alias("sh")
-    ).distinct()
+    sh = X.exploded_word_shingles(docs, text_col, id_col, shingle_n).distinct()
     h = sh.select(id_col, F.xxhash64("sh").alias("h"))
     bitted = h.select(
         id_col,

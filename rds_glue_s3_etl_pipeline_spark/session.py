@@ -40,9 +40,29 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4's ICU-backed lower/upper triggers a pathologically
+        # slow, lock-contended CollationAwareUTF8String class init in
+        # this JVM (observed 100+s stalls with every executor thread
+        # parked on the init monitor). The corpus is ASCII, where JVM
+        # case mapping is identical — disable ICU case mappings.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
+        # On this kernel, FileChannel.transferTo's mmap/unmap path makes
+        # the bypass-merge shuffle writer's partition-file concat stall
+        # for tens of seconds (observed via jstack: one task pinned in
+        # FileChannelImpl.unmap0, 31 threads idle). Stream-copy instead.
+        .config("spark.file.transferTo", "false")
+        # Shuffle/spill files on the root FS intermittently stall for
+        # 30-130s on this VM (identical q23 runs: 2.5s vs 137s; stable
+        # 8/8 runs once local dirs moved to tmpfs). Shuffle volumes at
+        # local test scale are tens of MB, so RAM-backed dirs are safe;
+        # a real cluster overrides this to NVMe via SPARK_LOCAL_DIRS.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_local"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
