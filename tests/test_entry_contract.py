@@ -1,0 +1,47 @@
+"""Driver-contract smoke tests: entry() returns rows on sf0.001, every
+registered query runs, and a sample of oracle pairs hash-match DuckDB
+(the full sweep lives in tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from rds_glue_s3_etl_pipeline_spark.catalog import TABLES
+from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY
+
+SAMPLE = ["q01_pricing_summary", "q03_precedence_merge", "q17_tumbling_window", "q24_cosine_topk"]
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_disc_price" in df.columns
+
+
+def test_contract_shapes():
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 30
+    # rows-only ops are the documented exceptions
+    rows_only = {n for n in qs if n not in os_}
+    assert all("rows-only" in REGISTRY[n].tags for n in rows_only)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_oracle_parity_sample(spark, sf_dir, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    ddf = con.execute(spec.oracle).df()
+    assert len(sdf) == len(ddf)
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.columns)
+    a = sdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    b = ddf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)

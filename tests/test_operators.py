@@ -1,0 +1,163 @@
+"""Unit tests for as-of join, dedup, similarity, and the text/vector
+function libraries on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from rds_glue_s3_etl_pipeline_spark.functions import text as X
+from rds_glue_s3_etl_pipeline_spark.functions import vector as V
+from rds_glue_s3_etl_pipeline_spark.operators.asof import asof_join
+from rds_glue_s3_etl_pipeline_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+    simhash,
+    simhash_near_pairs,
+)
+from rds_glue_s3_etl_pipeline_spark.operators.similarity import cosine_topk
+
+
+def ts(s):
+    return f"2024-01-01 {s}"
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, ts("10:00:00"), 100), (1, ts("10:30:00"), 101), (2, ts("10:15:00"), 200)],
+        "k long, ts string, ev long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, ts("09:50:00"), 5.0), (1, ts("10:20:00"), 7.0), (3, ts("09:00:00"), 9.0)],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["k"], r["ev"]): r["asof_v"]
+        for r in asof_join(left, right, on="k", ts="ts", value_cols=["v"]).collect()
+    }
+    assert out[(1, 100)] == 5.0      # latest right <= 10:00 is 09:50
+    assert out[(1, 101)] == 7.0      # 10:20 visible at 10:30
+    assert out[(2, 200)] is None     # no right rows for key 2
+
+
+def test_asof_join_equal_ts_visible(spark):
+    left = spark.createDataFrame(
+        [(1, ts("10:00:00"), 1)], "k long, ts string, ev long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, ts("10:00:00"), 42.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    [row] = asof_join(left, right, on="k", ts="ts", value_cols=["v"]).collect()
+    assert row["asof_v"] == 42.0
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near-dup of 1
+    (3, "completely different words about spark shuffles and parquet files here"),
+    (4, "the quick brown fox jumps over the lazy dog again and again today"),     # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "only four words here")], "doc_id long, text string")
+    [row] = df.select(X.word_shingles("text", 5).alias("sh")).collect()
+    assert row["sh"] == []
+
+
+def test_exploded_shingles_match_column_variant(spark):
+    df = _docs(spark)
+    a = {
+        (r["doc_id"], r["sh"])
+        for r in df.select(
+            "doc_id", F.explode(X.word_shingles("text", 5)).alias("sh")
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["sh"])
+        for r in X.exploded_word_shingles(df, "text", "doc_id", 5).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sigs = minhash_signatures(_docs(spark), num_perm=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, num_perm=16, bands=8)
+    est = minhash_jaccard_estimate(sigs, pairs, num_perm=16)
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in est.collect()}
+    assert got[(1, 4)] == 1.0                  # exact dup → identical signatures
+    assert (1, 2) in got and got[(1, 2)] > 0.3  # near-dup caught by banding
+    assert (1, 3) not in got                   # unrelated docs never candidates
+
+
+def test_simhash_near_pairs(spark):
+    fp = simhash(_docs(spark), bits=32, shingle_n=3)
+    vals = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert vals[1] == vals[4]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(fp, max_hamming=6, bits=32).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 3) not in pairs
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world")], "doc_id long, text string"
+    )
+    fps = [r["fp"] for r in df.select(X.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_lang_guess_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["g"] for r in df.select("doc_id", X.lang_guess("text").alias("g")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [3.0, 4.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        V.dot("a", "b").alias("dot"),
+        V.cosine("a", "b").alias("cos"),
+        V.l2_distance_sq("a", "b").alias("l2"),
+    ).collect()
+    assert rows[0]["dot"] == 0.0 and rows[0]["cos"] == 0.0
+    assert rows[1]["dot"] == 11.0
+    assert math.isclose(rows[1]["cos"], 11.0 / (math.sqrt(5) * math.sqrt(25)))
+    assert rows[0]["l2"] == 2.0
+
+
+def test_cosine_topk_excludes_self_and_ranks(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = cosine_topk(emb, q, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [3, 1]   # nearest non-self first
+    assert all(r["q_id"] == 0 for r in out)
