@@ -1,0 +1,87 @@
+"""The reference's end-to-end ETL dataflow, re-expressed (SURVEY §3
+trace 2): validate → precedence-merge → audit → sink → notify.
+
+Reference stage map (``/root/reference/gule_test_job.py``):
+  :107-111  validate `id` on both inputs, Slack + abort otherwise
+  :114-156  schema-union + per-cell precedence merge (here: one join)
+  :166-193  unmatched-RDS audit → top-10 Slack message (non-fatal)
+  :200-211  single-CSV write
+  :213-221  success/failure notifications
+
+Every stage is a DataFrame transform; nothing materializes on the
+driver except the ≤10-row audit sample and the final row count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from .notify import Notifier, NullNotifier, format_audit_message
+from .operators.merge import audit_summary, precedence_merge, unmatched_audit
+from .sources.sinks import write_single_csv
+
+
+class PipelineError(RuntimeError):
+    pass
+
+
+@dataclass
+class PipelineResult:
+    output_path: str
+    merged_rows: int
+    audit: dict
+
+
+def run_merge_pipeline(
+    primary: DataFrame,
+    fallback: DataFrame,
+    output_path: str,
+    key: str = "id",
+    notifier: Notifier | None = None,
+    fallback_order_col: str | None = None,
+) -> PipelineResult:
+    """Run the full reference dataflow on two already-loaded inputs.
+
+    Inputs come from any source (S1 JSON / S2 JDBC / S6 parquet —
+    see sources.readers); the reference hard-wired S3+RDS.
+    """
+    notifier = notifier or NullNotifier()
+
+    # Stage 1: validation (gule_test_job.py:107-111) — hard failure.
+    for side, df in (("primary", primary), ("fallback", fallback)):
+        if key not in df.columns:
+            msg = f"ERROR: required key column {key!r} missing from {side} input"
+            notifier.notify(msg)
+            raise PipelineError(msg)
+
+    # Stage 2: distributed precedence merge (:114-156). Both inputs
+    # feed the merge AND the audit — cache to scan each source once.
+    primary = primary.cache()
+    fallback = fallback.cache()
+    merged = precedence_merge(
+        primary, fallback, key=key, fallback_order_col=fallback_order_col
+    )
+
+    # Stage 3: audit (:166-193) — non-fatal by reference semantics.
+    try:
+        audit = audit_summary(unmatched_audit(fallback, primary, key=key), key=key)
+        if audit["total_unmatched"] > 0:
+            notifier.notify(format_audit_message(audit))
+    except Exception as e:  # noqa: BLE001
+        notifier.notify(f"WARNING: audit failed: {e}")
+        audit = {"total_unmatched": -1, "displayed_ids": [], "remaining_count": 0}
+
+    # Stage 4: load (:200-211) + success notification (:213-215).
+    try:
+        write_single_csv(merged, output_path)
+        n = merged.count()
+        notifier.notify(f"SUCCESS: wrote {n} merged records to {output_path}")
+        return PipelineResult(output_path=output_path, merged_rows=n, audit=audit)
+    except Exception as e:
+        notifier.notify(f"ERROR: failed to write output: {e}")
+        raise
+    finally:
+        primary.unpersist()
+        fallback.unpersist()

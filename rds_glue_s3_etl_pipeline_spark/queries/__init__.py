@@ -6,3 +6,4 @@ from . import merge_ops  # noqa: F401
 from . import events  # noqa: F401
 from . import text  # noqa: F401
 from . import vector  # noqa: F401
+from . import multimodal_q  # noqa: F401

@@ -1,0 +1,132 @@
+"""Structured Streaming operators over the ``events`` stream (SURVEY
+§2.9 T1-T6 — all extension surface; the reference is a batch-only,
+on-demand Glue job, ``main.tf:35-73``).
+
+Design: each operator is ``stream_df -> stream_df`` so the same
+transformations compose under ``readStream`` (incremental) and
+``read`` (batch backfill) — the Spark unified-engine idiom. State
+stores bound memory via watermarks; every aggregation here is
+map-side-combinable before the stateful operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based event stream (parquet drops). The same TIMESTAMP(NANOS)
+    normalization as catalog.load: nanos → microsecond timestamps.
+
+    At production scale the source would be Kafka with the identical
+    downstream pipeline (swap this reader, keep every operator).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(dir_path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """T1+T3: tumbling-window counts/sums with late-data watermark.
+    Append-mode compatible: a window finalizes when the watermark
+    passes its end, bounding state to (watermark/window) windows/key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T1 sliding variant: each event lands in window/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """T2: per-user session windows (dynamic gap-based windows — the
+    streaming twin of the batch lag/cumsum sessionization, q18)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stateful_dedup(
+    events: DataFrame, key: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """T4: exactly-once event delivery via watermarked dropDuplicates —
+    state holds only keys younger than the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicates([key, "ts"])
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """T5: enrich a stream against a static dimension. Spark plans the
+    static side as a broadcast per micro-batch — no stream state."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def notify_each_batch(
+    stream: DataFrame,
+    notify: Callable[[str], None],
+    checkpoint_dir: str,
+    query_name: str = "notify",
+):
+    """T6: the streaming analog of the reference's Slack sink (S5) —
+    a foreachBatch sink that reports each micro-batch's row count,
+    mirroring the success message of gule_test_job.py:213-215."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        n = batch_df.count()
+        notify(f"batch {epoch_id}: {n} rows")
+
+    return (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
