@@ -1,0 +1,265 @@
+"""Second relational batch: pivot, multi-table star joins, subquery
+patterns (IN / EXISTS / correlated), histogram bucketing, per-group
+top-k, approximate distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import O_DSUM, dsum, query
+
+# --------------------------------------------------------------------------
+# Pivot (wide aggregation).
+# --------------------------------------------------------------------------
+
+_Q37_ORACLE = f"""
+SELECT l_returnflag,
+       {O_DSUM("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+       {O_DSUM("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q37_pivot", oracle=_Q37_ORACLE, tags=("agg", "pivot"))
+def q37_pivot(spark, sf_dir):
+    """Pivot linestatus into columns (SURVEY §2.8 pivot surface) —
+    Catalyst rewrites pivot to the same conditional aggregation the
+    oracle states explicitly."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Five-table star join (TPC-H Q5 shape): revenue by nation.
+# --------------------------------------------------------------------------
+
+_Q38_ORACLE = f"""
+SELECT n.n_name,
+       {O_DSUM("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+"""
+
+
+@query("q38_star_join_revenue", oracle=_Q38_ORACLE, tags=("join", "J4", "J5"))
+def q38_star_join_revenue(spark, sf_dir):
+    """Fact ⋈ three broadcast dims (SURVEY §2.3 J5): the fact table
+    shuffles once (orderkey); customer/nation/region ride along as
+    broadcasts, so the 100 TB plan is one shuffle + three map-side
+    hash joins, with the region filter pruning before the join."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = F.broadcast(load(spark, sf_dir, "customer"))
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated aggregate subquery (TPC-H Q17 shape).
+# --------------------------------------------------------------------------
+
+_Q39_ORACLE = """
+WITH part_avg AS (
+  SELECT l_partkey, AVG(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey, CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem l
+JOIN part_avg p ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < 0.5 * p.avg_qty
+GROUP BY l.l_partkey
+"""
+
+
+@query("q39_below_avg_quantity", oracle=_Q39_ORACLE, tags=("join", "subquery"))
+def q39_below_avg_quantity(spark, sf_dir):
+    """Correlated-aggregate pattern (lineitems below half their part's
+    average quantity), decorrelated into aggregate + self-join — the
+    same rewrite Catalyst applies to the subquery form. AVG here is a
+    ratio of exact values (count-bounded), deterministic both engines.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    avg = l.groupBy("l_partkey").agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        l.join(avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_small"))
+    )
+
+
+# --------------------------------------------------------------------------
+# IN / NOT EXISTS subqueries.
+# --------------------------------------------------------------------------
+
+_Q40_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE c.c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P'
+      )
+"""
+
+
+@query("q40_in_not_exists", oracle=_Q40_ORACLE, tags=("join", "subquery", "P5"))
+def q40_in_not_exists(spark, sf_dir):
+    """IN-subquery (semi join) combined with NOT EXISTS (anti join) —
+    the P3 membership filter of the reference generalized to
+    subqueries; planned as two broadcast-able joins, no shuffle of the
+    dim side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    pending = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .join(pending, c.c_custkey == pending.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram bucketing (width_bucket-style CASE binning).
+# --------------------------------------------------------------------------
+
+_Q41_ORACLE = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS price_bucket,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("q41_histogram", oracle=_Q41_ORACLE, tags=("agg", "A3"))
+def q41_histogram(spark, sf_dir):
+    """Equi-width histogram over order totals — bucket + count, the
+    scan-speed profiling primitive."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("price_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-group top-k with ties (dense ranking window).
+# --------------------------------------------------------------------------
+
+_Q42_ORACLE = """
+SELECT * FROM (
+  SELECT l_suppkey, l_partkey, l_quantity,
+         DENSE_RANK() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_quantity DESC) AS qty_rank
+  FROM lineitem
+) WHERE qty_rank <= 2
+"""
+
+
+@query("q42_dense_rank_topk", oracle=_Q42_ORACLE, tags=("window", "W1"))
+def q42_dense_rank_topk(spark, sf_dir):
+    """Top quantities per supplier keeping ties (dense_rank ≤ 2)."""
+    l = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(F.desc("l_quantity"))
+    return (
+        l.select(
+            "l_suppkey",
+            "l_partkey",
+            "l_quantity",
+            F.dense_rank().over(w).cast("long").alias("qty_rank"),
+        )
+        .filter(F.col("qty_rank") <= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (scale path of A4) — rows-only by design.
+# --------------------------------------------------------------------------
+
+
+@query("q43_approx_distinct", oracle=None, tags=("agg", "A4", "rows-only"))
+def q43_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct counts (the 100 TB path where exact
+    COUNT(DISTINCT) would shuffle every key). Rows-only: HLL sketches
+    are engine-specific; the exact twin q07 is the correctness anchor.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional null handling family (coalesce/nullif/nvl2 shapes).
+# --------------------------------------------------------------------------
+
+_Q44_ORACLE = """
+SELECT o_orderkey,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+       CASE WHEN o_totalprice IS NULL THEN 0.0 ELSE o_totalprice END AS price_filled,
+       CAST(o_totalprice IS NOT NULL AS BIGINT) AS has_price
+FROM orders
+"""
+
+
+@query("q44_null_functions", oracle=_Q44_ORACLE, tags=("scalar", "P4"))
+def q44_null_functions(spark, sf_dir):
+    """Null-handling scalar family (SURVEY §2.8 conditional/null: the
+    machinery behind the J1 merge expressed as standalone ops)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_norm"
+        ),
+        F.when(F.col("o_totalprice").isNull(), 0.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_filled"),
+        F.col("o_totalprice").isNotNull().cast("long").alias("has_price"),
+    )
