@@ -1,0 +1,64 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.10).
+
+The reference imports ``udf, pandas_udf`` but never defines one
+(``gule_test_job.py:13``); its only custom logic is the driver-side
+merge loop. This module is the engine's declared escape hatch, with
+the preference order enforced by example:
+
+1. built-in functions (everything in functions/text.py, functions/vector.py);
+2. Arrow-vectorized ``pandas_udf`` for scalar work with no builtin;
+3. ``applyInPandas`` for per-group custom aggregation (UDAF-shaped);
+4. ``mapInPandas`` for batch-wise transforms (see multimodal/codec.py).
+
+Row-at-a-time ``@F.udf`` is deliberately absent — never the hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())
+def log1p_abs(v: pd.Series) -> pd.Series:
+    """Vectorized scalar example: numerically-stable log(1+|x|) —
+    Arrow-batched, numpy-backed, ~10-100x a python row UDF."""
+    import numpy as np
+
+    return pd.Series(np.log1p(v.abs()))
+
+
+GAP_STATS_SCHEMA = (
+    "o_custkey long, n_orders long, median_gap_days double, max_gap_days double"
+)
+
+
+def order_gap_stats(orders: DataFrame) -> DataFrame:
+    """Per-customer order-gap statistics via applyInPandas (the
+    UDAF-shaped escape hatch): median and max day-gap between a
+    customer's consecutive orders.
+
+    Scale notes: one shuffle on the grouping key, one pandas frame per
+    customer in memory at a time — the right tool when the per-group
+    computation has no builtin expression (here it does — see the q48
+    oracle — which is what makes it verifiable)."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        days = (pdf["o_orderdate"].diff().dt.total_seconds() / 86400.0).dropna()
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "median_gap_days": [float(days.median()) if len(days) else None],
+                "max_gap_days": [float(days.max()) if len(days) else None],
+            }
+        )
+
+    return (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .groupBy("o_custkey")
+        .applyInPandas(stats, GAP_STATS_SCHEMA)
+    )

@@ -1,0 +1,41 @@
+"""Skew-resilient join (100 TB hardening, SURVEY §4).
+
+AQE's skew-join split handles sort-merge skew automatically; salting
+is the explicit fallback for the cases AQE can't fix (e.g. a single
+hot key inside one partition of a shuffled hash join, or pre-Spark-3
+clusters). Kept as a first-class operator so pipelines can opt in per
+join: replicate the small side SALT_N ways, scatter the big side's hot
+keys across the replicas, join on (key, salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_n: int = 8,
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``on`` with ``salt_n``-way salting.
+
+    The big side gets a random-but-deterministic salt from a hash of
+    its full row (xxhash64 of all columns mod salt_n) so hot keys
+    spread across salt_n reduce partitions; the small side is
+    replicated salt_n times (explode), which is safe precisely because
+    the small side is small. Output equals the unsalted join
+    (column-for-column), verified in tests.
+    """
+    if salt_n < 1:
+        raise ValueError("salt_n must be >= 1")
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = salted_big.join(salted_small, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from rds_glue_s3_etl_pipeline_spark.functions.udfs import log1p_abs, order_gap_stats
+from rds_glue_s3_etl_pipeline_spark.operators.skew import salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    random.seed(7)
+    # one pathological hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [(1 if random.random() < 0.9 else random.randint(2, 50), i) for i in range(5000)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(1, 51)], "k long, label string"
+    )
+    plain = big.join(small, "k").groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    salted = salted_join(big, small, "k").groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, 10), (99, 20)], "k long, payload long")
+    small = spark.createDataFrame([(1, "a")], "k long, label string")
+    out = {r["k"]: r["label"] for r in salted_join(big, small, "k", how="left").collect()}
+    assert out == {1: "a", 99: None}
+
+
+def test_pandas_udf_vectorized(spark):
+    import math
+
+    df = spark.createDataFrame([(-3.0,), (0.0,), (7.0,)], "v double")
+    got = [r["y"] for r in df.select(log1p_abs("v").alias("y")).collect()]
+    assert got == [math.log1p(3.0), 0.0, math.log1p(7.0)]
+
+
+def test_order_gap_stats_small(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01"),
+            (1, 101, "2024-01-03"),   # gap 2
+            (1, 102, "2024-01-09"),   # gap 6
+            (2, 200, "2024-05-05"),   # single order → null gaps
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = {r["o_custkey"]: r for r in order_gap_stats(orders).collect()}
+    assert out[1]["n_orders"] == 3
+    assert out[1]["median_gap_days"] == 4.0   # median of [2, 6]
+    assert out[1]["max_gap_days"] == 6.0
+    assert out[2]["n_orders"] == 1
+    assert out[2]["median_gap_days"] is None
