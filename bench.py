@@ -48,8 +48,18 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
-    # JVM/codegen warmup on a trivial plan so q-timings measure the query.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM/codegen warmup: run every headline plan shape once at the
+    # smallest scale factor so the timed runs measure query execution,
+    # not whole-stage-codegen compilation (cold-vs-warm is 3-10x here).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                materialize(REGISTRY[name].fn(spark, warm_dir))
+            except Exception:
+                pass
+    else:
+        spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
