@@ -4,9 +4,12 @@ from .registry import REGISTRY, QuerySpec, query  # noqa: F401
 from . import relational  # noqa: F401
 from . import relational2  # noqa: F401
 from . import relational3  # noqa: F401
+from . import relational4  # noqa: F401
 from . import scalar2  # noqa: F401
 from . import merge_ops  # noqa: F401
 from . import events  # noqa: F401
 from . import text  # noqa: F401
+from . import text2  # noqa: F401
 from . import vector  # noqa: F401
+from . import vector2  # noqa: F401
 from . import multimodal_q  # noqa: F401

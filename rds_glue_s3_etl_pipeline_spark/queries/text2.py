@@ -1,0 +1,150 @@
+"""Second text-analysis batch (north-star training-data pipeline):
+rolling-hash document fingerprinting, BPE-ish regex token counting,
+PII-style scrubbing, deterministic global shuffle.
+
+Each Spark expression has a structurally-identical DuckDB twin so the
+oracle checks the value path, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as X
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Rolling-hash fingerprint (north star: "document fingerprinting
+# (rolling hash)"). Per-token value v = ascii(first char)*131 + len;
+# polynomial fold h = (h*1000003 + v) mod (2^31-1). All BIGINT
+# arithmetic: |h| < 2^31 so h*1000003 + v < 2^51 — no overflow in
+# either engine. Seed 0 is prepended on the DuckDB side because
+# list_reduce has no initial-value form in 1.0.
+# --------------------------------------------------------------------------
+
+_MOD = 2_147_483_647
+_MUL = 1_000_003
+
+_Q56_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(
+           CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(TRIM(text), '\\s+'),
+                          t -> CAST(ascii(t[1:1]) * 131 + LENGTH(t) AS BIGINT))),
+         (acc, v) -> (acc * {_MUL} + v) % {_MOD}) AS rolling_fp
+FROM documents
+"""
+
+
+@query("q56_rolling_fingerprint", oracle=_Q56_ORACLE, tags=("text", "EXT"))
+def q56_rolling_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint: polynomial fold over the
+    token stream — one aggregate() pass per doc, O(tokens), no UDF.
+    Unlike the md5 fingerprint (q22) this is incremental: shifting a
+    window of tokens updates the hash in O(1), which is what makes it
+    the primitive for substring-level dedup at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    vals = F.transform(
+        X.tokens("text"),
+        lambda t: (F.ascii(F.substring(t, 1, 1)) * 131 + F.length(t)).cast("long"),
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * _MUL + v) % _MOD,
+    )
+    return d.select("doc_id", fp.alias("rolling_fp"))
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (north star: "token counting (whitespace + a
+# BPE-ish regex)"). Whitespace counting is q19; this estimates LLM
+# token counts with the classic pre-tokenizer shape: letter runs are
+# ~1 token, digits split singly, punctuation splits singly.
+# --------------------------------------------------------------------------
+
+_BPE_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+_Q63_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(LOWER(text), '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@query("q63_bpe_token_count", oracle=_Q63_ORACLE, tags=("text", "EXT"))
+def q63_bpe_token_count(spark, sf_dir):
+    """BPE-style token-count estimate via a pre-tokenizer regex:
+    one regexp_count per doc, JVM-side, scan-speed."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII-style scrubbing: mask numeric literals (the shape of phone/SSN/
+# account scrubbers) and report how many were masked. The fingerprint
+# of the scrubbed text proves the rewrite itself matches, not just the
+# counts. DuckDB regexp_replace needs the 'g' flag; Spark is global by
+# default.
+# --------------------------------------------------------------------------
+
+_NUM_RE = r"[0-9]+(\.[0-9]+)?"
+
+_Q64_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_NUM_RE}')) AS BIGINT) AS n_masked,
+       md5(regexp_replace(text, '{_NUM_RE}', '<num>', 'g')) AS scrub_fp
+FROM documents
+"""
+
+
+@query("q64_text_scrub", oracle=_Q64_ORACLE, tags=("text", "EXT"))
+def q64_text_scrub(spark, sf_dir):
+    """Scrub numeric literals to a <num> sentinel (PII-masking shape)
+    and fingerprint the scrubbed text. Pure regexp built-ins."""
+    d = load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(F.col("text"), _NUM_RE, "<num>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_NUM_RE)).cast("long").alias("n_masked"),
+        F.md5(scrubbed.cast("binary")).alias("scrub_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle: training pipelines need a reproducible
+# random-looking total order over documents (for data loaders / epoch
+# shuffles). md5(key) is the engine-portable stand-in for a seeded RNG.
+# --------------------------------------------------------------------------
+
+_Q65_ORACLE = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_pos
+FROM documents
+"""
+
+
+@query("q65_deterministic_shuffle", oracle=_Q65_ORACLE, tags=("sample", "sort", "EXT"))
+def q65_deterministic_shuffle(spark, sf_dir):
+    """Reproducible epoch shuffle: total order by md5(doc_id). Spark
+    plans a range-partitioned sort (sampled boundaries), so at 100 TB
+    this is the standard 2-pass distributed sort — no single-task
+    window. The unpartitioned row_number here is local-test-size only;
+    the scale form writes the sort output with
+    monotonically-increasing file/row addressing instead."""
+    d = load(spark, sf_dir, "documents")
+    hsh = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.orderBy(hsh, F.col("doc_id"))
+    return d.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
+    )

@@ -1,0 +1,148 @@
+"""IVF-style ANN (north star: "an IVF or LSH-bucketed variant as the
+scale path") and dup-cluster resolution via connected components.
+
+Both carry full DuckDB oracles: the IVF assignment/probe is plain
+relational algebra once the codebook is deterministic, and connected
+components is expressible as a recursive CTE on the oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import vector as V
+from ..operators.graph import connected_components
+from .registry import query
+from .text import _Q23_ORACLE
+
+# --------------------------------------------------------------------------
+# q59: IVF top-k. A deterministic coarse codebook (every 25th vector)
+# stands in for trained k-means centroids — the *query shape* (assign →
+# probe own cell → exact rank within cell) is exactly IVF-Flat with
+# nprobe=1, and is what the oracle verifies. Swapping in trained
+# centroids changes only the codebook table.
+# --------------------------------------------------------------------------
+
+_CENTROID_STEP = 25
+_N_QUERIES = 8
+_TOP_K = 5
+
+_Q59_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_CENTROID_STEP} = 0),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                       c.c_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qa AS (
+  SELECT q.vec_id AS q_id, q.v AS qv, a.c_id
+  FROM e q JOIN assign a ON a.vec_id = q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT qa.q_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.v, qa.qv), 4) AS cos_sim
+  FROM qa
+  JOIN assign a ON a.c_id = qa.c_id
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE e.vec_id <> qa.q_id
+)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM cand
+) WHERE rank <= {_TOP_K}
+"""
+
+
+@query("q59_ivf_topk", oracle=_Q59_ORACLE, tags=("vector", "similarity", "EXT"))
+def q59_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN, nprobe=1: assign every vector to its nearest
+    coarse centroid (broadcast codebook, one pass, no shuffle), then
+    rank candidates only within the query's cell. Search cost drops
+    from O(N) to O(N/#cells) per query; the assignment is a one-time
+    build reused across queries — at 100 TB, persist it partitioned by
+    cell so each probe touches one partition."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") % _CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "c_id",
+        F.round(V.cosine(F.col("embedding"), F.col("cv")), 4).alias("c_cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "c_id")
+    )
+    qa = assign.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "c_id"
+    )
+    cand = (
+        assign.join(F.broadcast(qa), "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(V.cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q60: dup-cluster resolution. Edges = q23's n-gram Jaccard near-dup
+# pairs; components via min-label propagation (operators/graph.py).
+# The DuckDB oracle computes the same components with a recursive CTE
+# (UNION-deduped reachability), proving the iterative Spark loop
+# converges to the true fixpoint.
+# --------------------------------------------------------------------------
+
+_Q60_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_Q23_ORACLE})
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+@query("q60_dup_clusters", oracle=_Q60_ORACLE, tags=("dedup", "graph", "EXT"))
+def q60_dup_clusters(spark, sf_dir):
+    """Near-dup pairs → dup clusters: connected components by
+    alternating min-label propagation, each round one shuffle-join.
+    This is the step that turns pairwise dedup output into 'keep one
+    doc per cluster' decisions."""
+    from .text import q23_ngram_jaccard_pairs
+
+    edges = q23_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(edges, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )

@@ -161,3 +161,18 @@ def test_cosine_topk_excludes_self_and_ranks(spark):
     out = cosine_topk(emb, q, k=2).orderBy("rank").collect()
     assert [r["vec_id"] for r in out] == [3, 1]   # nearest non-self first
     assert all(r["q_id"] == 0 for r in out)
+
+
+def test_connected_components_two_clusters(spark):
+    from rds_glue_s3_etl_pipeline_spark.operators.graph import connected_components
+
+    # 1-2-3 chained, 10-11 pair, plus a self-contained 20-21-22 triangle.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
