@@ -126,3 +126,50 @@ def test_notify_each_batch(spark, events_dir, tmp_path):
     assert messages and messages[0].startswith("batch 0:")
     n = int(messages[0].split(":")[1].strip().split()[0])
     assert n == load(spark, SF, "events").count()
+
+
+def test_user_running_totals_stateful(spark, tmp_path):
+    """Custom applyInPandasWithState operator: state carries across
+    micro-batches (two file drops, maxFilesPerTrigger=1), and the final
+    running totals equal the batch groupBy over all data."""
+    from rds_glue_s3_etl_pipeline_spark.streaming.stateful import user_running_totals
+
+    d = tmp_path / "state_in"
+    d.mkdir()
+    ev = load(spark, SF, "events")
+    first, second = (
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
+    first.coalesce(1).write.parquet(str(d / "drop_a"))
+    second.coalesce(1).write.parquet(str(d / "drop_b"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    out = run_to_memory(
+        user_running_totals(stream), spark, "t7", tmp_path, mode="update"
+    )
+    # memory sink accumulates one row per user per batch; the running
+    # total is monotone, so the final state is the max per user.
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for u in expect:
+        assert got[u][0] == expect[u][0]
+        assert abs(got[u][1] - expect[u][1]) < 1e-6
