@@ -170,8 +170,10 @@ def q61_coverage_matrix(spark, sf_dir):
         .groupBy("r_name", F.col("o_orderpriority").alias("priority"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # cnts is at most |regions| x |priorities| rows, but it sits behind
+    # an aggregation so Catalyst has no size estimate — hint it.
     return (
-        combos.join(cnts, ["r_name", "priority"], "left")
+        combos.join(F.broadcast(cnts), ["r_name", "priority"], "left")
         .select(
             "r_name",
             "priority",
