@@ -62,3 +62,30 @@ def order_gap_stats(orders: DataFrame) -> DataFrame:
         .groupBy("o_custkey")
         .applyInPandas(stats, GAP_STATS_SCHEMA)
     )
+
+
+# Sentence boundary: terminal punctuation + whitespace. Deliberately
+# lookbehind-free so the DuckDB oracle (RE2) splits identically to
+# Python's re — the boundary match is consumed, dropping the trailing
+# punctuation of every sentence but the last.
+SENTENCE_BOUNDARY = r"[.!?]\s+"
+
+
+@F.udtf(returnType="pos int, sentence string, n_words int")
+class SplitSentences:
+    """True Python UDTF (Spark 4 table function): one input document →
+    N output rows, one per sentence — the UDTF shape that
+    explode(split()) can't express once per-row state or multi-column
+    output enters (here: position + per-sentence word count).
+
+    Used via lateral join: SQL ``SELECT * FROM docs, LATERAL
+    split_sentences(text)`` (after ``spark.udtf.register``).
+    """
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        import re
+
+        for pos, part in enumerate(re.split(SENTENCE_BOUNDARY, text.strip())):
+            yield pos, part, len(part.split())

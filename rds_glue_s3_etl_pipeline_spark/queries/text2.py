@@ -148,3 +148,41 @@ def q65_deterministic_shuffle(spark, sf_dir):
     return d.select(
         "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.10 UDTF: sentence splitting as a true Python table function,
+# lateral-joined per document. The DuckDB twin unnests the same
+# RE2-compatible split (functions/udfs.py SENTENCE_BOUNDARY), so the
+# oracle checks the per-row expansion, not just counts.
+# --------------------------------------------------------------------------
+
+_Q66_ORACLE = """
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS pos,
+       parts[i] AS sentence,
+       CAST(CASE WHEN TRIM(parts[i]) = '' THEN 0
+                 ELSE array_length(regexp_split_to_array(TRIM(parts[i]), '\\s+'))
+            END AS INT) AS n_words
+FROM (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '[.!?]\\s+') AS parts
+  FROM documents
+), UNNEST(generate_series(1, array_length(parts))) AS u(i)
+"""
+
+
+@query("q66_udtf_sentences", oracle=_Q66_ORACLE, tags=("text", "udtf", "EXT"))
+def q66_udtf_sentences(spark, sf_dir):
+    """Per-document sentence table via a Python UDTF + LATERAL join.
+    Arrow-batched; at scale the lateral join is a per-partition flatMap
+    — no shuffle, parallelism = input splits."""
+    from ..functions.udfs import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, s.pos, s.sentence, s.n_words
+        FROM documents, LATERAL split_sentences(trim(text)) AS s
+        """
+    )

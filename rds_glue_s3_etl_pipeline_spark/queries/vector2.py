@@ -18,20 +18,27 @@ from .registry import query
 from .text import _Q23_ORACLE
 
 # --------------------------------------------------------------------------
-# q59: IVF top-k. A deterministic coarse codebook (every 25th vector)
-# stands in for trained k-means centroids — the *query shape* (assign →
-# probe own cell → exact rank within cell) is exactly IVF-Flat with
-# nprobe=1, and is what the oracle verifies. Swapping in trained
-# centroids changes only the codebook table.
+# q59: IVF top-k. A deterministic coarse codebook (the first
+# _N_CENTROIDS vectors in md5(vec_id) order — a seedless pseudo-random
+# sample) stands in for trained k-means centroids — the *query shape*
+# (assign → probe own cell → exact rank within cell) is exactly
+# IVF-Flat with nprobe=1, and is what the oracle verifies. Swapping in
+# trained centroids changes only the codebook table. The codebook size
+# is FIXED, independent of corpus size: assignment cost stays O(N*C)
+# with constant C (a %-of-N codebook makes assignment quadratic — the
+# 10x scale probe caught exactly that).
 # --------------------------------------------------------------------------
 
-_CENTROID_STEP = 25
+_N_CENTROIDS = 32
 _N_QUERIES = 8
 _TOP_K = 5
 
 _Q59_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % {_CENTROID_STEP} = 0),
+cent AS (
+  SELECT vec_id AS c_id, v AS cv FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_N_CENTROIDS}
+),
 assign AS (
   SELECT vec_id, c_id FROM (
     SELECT e.vec_id, c.c_id,
@@ -72,8 +79,12 @@ def q59_ivf_topk(spark, sf_dir):
     build reused across queries — at 100 TB, persist it partitioned by
     cell so each probe touches one partition."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = e.filter(F.col("vec_id") % _CENTROID_STEP == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    cent = (
+        e.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+        )
+        .limit(_N_CENTROIDS)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
     )
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",

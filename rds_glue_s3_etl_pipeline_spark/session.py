@@ -60,6 +60,15 @@ def get_spark(
             "spark.local.dir",
             os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_local"),
         )
+        # Long sessions compile hundreds of whole-stage-codegen classes;
+        # the JVM default 240MB code cache is the documented Spark limit
+        # to raise for codegen-heavy workloads. (Note: this VM also
+        # shows external 30-130s whole-process freezes unrelated to the
+        # JVM — bench.py measures best-of-2 per query to filter those.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
