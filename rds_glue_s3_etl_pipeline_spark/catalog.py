@@ -53,9 +53,12 @@ def load(
     (they broadcast anyway).
     """
     # Sessions we didn't build (the driver's) need the same runtime
-    # confs the factory sets: nanos parquet reads and the ICU
-    # case-mapping stall workaround (see session.get_spark).
+    # confs the factory sets: nanos parquet reads, the ICU case-mapping
+    # stall workaround, and a pinned UTC session timezone so
+    # timestamp/date casts and unix_timestamp match the tz-naive DuckDB
+    # oracle on any host TZ (see session.get_spark).
     spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -14,6 +14,8 @@ does not grow exponentially across iterations.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -23,6 +25,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Return (id, cluster_id) for every node in ``edges``, where
     cluster_id is the minimum node id of its connected component.
@@ -30,6 +33,11 @@ def connected_components(
     ``edges`` is undirected input given as one row per pair (either
     orientation). Nodes with no edges are simply absent — union them
     back with label=id if isolated nodes must appear.
+
+    Converges in O(diameter) rounds. If ``max_iter`` is exhausted
+    before fixpoint the labels are only partially propagated; with
+    ``strict`` (default) that raises, otherwise it warns and returns
+    the partial labels.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -45,6 +53,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.id)
@@ -71,5 +80,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds max_iter); labels are partial"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -28,9 +28,19 @@ def salted_join(
     replicated salt_n times (explode), which is safe precisely because
     the small side is small. Output equals the unsalted join
     (column-for-column), verified in tests.
+
+    Only ``inner`` and ``left`` are supported: with right/full outer
+    joins an unmatched small-side row would survive once per salt
+    replica (salt_n duplicates), so those modes are rejected rather
+    than silently wrong.
     """
     if salt_n < 1:
         raise ValueError("salt_n must be >= 1")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left'}}, got {how!r}: "
+            "outer modes would duplicate unmatched replicated small-side rows"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
     )

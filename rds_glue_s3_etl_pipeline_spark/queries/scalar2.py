@@ -148,7 +148,8 @@ def q52_map_json_ops(spark, sf_dir):
 
 _Q53_ORACLE = """
 SELECT event_type,
-       array_agg(DISTINCT user_id % 7 ORDER BY user_id % 7) AS user_buckets,
+       array_to_string(array_agg(DISTINCT user_id % 7 ORDER BY user_id % 7), ',')
+         AS user_buckets,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type
@@ -158,11 +159,19 @@ GROUP BY event_type
 @query("q53_collect_set", oracle=_Q53_ORACLE, tags=("agg", "A2"))
 def q53_collect_set(spark, sf_dir):
     """Distinct-set collection (the reference's python id-set at
-    gule_test_job.py:121, as a distributed aggregate); sorted for
-    engine-neutral comparison."""
+    gule_test_job.py:121, as a distributed aggregate); the set is
+    serialized to a sorted comma-joined scalar so the result is a
+    hashable, engine-neutral value (array columns can't be canonically
+    hashed by the differential harness)."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.sort_array(F.collect_set(F.col("user_id") % 7)).alias("user_buckets"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set(F.col("user_id") % 7)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("user_buckets"),
         F.countDistinct("user_id").alias("n_users"),
     )
 

@@ -176,3 +176,18 @@ def test_connected_components_two_clusters(spark):
         for r in connected_components(edges).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest
+
+    from rds_glue_s3_etl_pipeline_spark.operators.graph import connected_components
+
+    # A 5-node path needs ~4 propagation rounds; max_iter=1 cannot finish.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edges, max_iter=1, strict=False).collect()

@@ -58,3 +58,13 @@ def test_order_gap_stats_small(spark):
     assert out[1]["max_gap_days"] == 6.0
     assert out[2]["n_orders"] == 1
     assert out[2]["median_gap_days"] is None
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, 10)], "k long, payload long")
+    small = spark.createDataFrame([(1, "a")], "k long, label string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
