@@ -1,0 +1,106 @@
+"""Distributed global ordering primitives (SURVEY §2.6 O1 at scale).
+
+The reference preserves input order by iterating a pandas frame on one
+core (``/root/reference/gule_test_job.py:125-163``). The naive Spark
+translation — ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY
+— moves every row to a single task (Spark even warns: "No Partition
+Defined for Window operation"), which is exactly the single-core
+pathology the engine exists to remove.
+
+The scale-correct form is the classic two-pass prefix computation every
+distributed sort uses:
+
+1. range-partition on the order key (sampled boundaries — Spark's
+   ``repartitionByRange``), sort within partitions;
+2. one tiny job computes per-partition row counts / partial sums
+   (#partitions rows — kilobytes at any data scale);
+3. exclusive prefix offsets over those partials are broadcast back, and
+   each partition independently adds ``offset + local_rank``.
+
+Wall-clock is two scans + one range shuffle; no task ever sees more
+than one partition of data, so the same plan holds at 100 TB with
+thousands of partitions. The lineage between the two passes is pinned
+with ``localCheckpoint`` so both jobs observe identical partition
+boundaries; on a real cluster prefer ``persist(DISK_ONLY)`` /
+``checkpoint`` for the pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__prefix_pid"
+_LOCAL = "__prefix_local"
+_OFFSET = "__prefix_offset"
+
+
+def _ranged(df: DataFrame, order_cols, num_partitions: int | None):
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    return ranged, cols
+
+
+def _with_offsets(ranged: DataFrame, partials: DataFrame, partial_col: str):
+    """Join exclusive prefix offsets (computed over the tiny
+    per-partition partials frame) back onto the ranged data."""
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        _PID, F.coalesce(F.sum(partial_col).over(w), F.lit(0)).alias(_OFFSET)
+    )
+    return ranged.join(F.broadcast(offsets), _PID)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols,
+    out_col: str = "seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Total-order 1-based row number over ``order_cols`` without a
+    single-partition window. ``order_cols`` must be a total order
+    (include a unique tiebreaker) for deterministic output.
+    """
+    ranged, cols = _ranged(df, order_cols, num_partitions)
+    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
+    local = F.row_number().over(Window.partitionBy(_PID).orderBy(*cols))
+    return (
+        _with_offsets(ranged.withColumn(_LOCAL, local), counts, "__n")
+        .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols,
+    value: Column | str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running (inclusive-prefix) sum of ``value`` in
+    ``order_cols`` order — same two-pass shape as
+    :func:`global_row_number` with partial sums instead of counts.
+
+    Sum ``value`` exactly (cast to decimal first for doubles) or the
+    partial+offset recombination can differ from a serial sum.
+    """
+    ranged, cols = _ranged(df, order_cols, num_partitions)
+    v = F.col(value) if isinstance(value, str) else value
+    sums = ranged.groupBy(_PID).agg(F.sum(v).alias("__s"))
+    local = F.sum(v).over(
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _with_offsets(ranged.withColumn(_LOCAL, local), sums, "__s")
+        .withColumn(out_col, F.col(_OFFSET) + F.col(_LOCAL))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )

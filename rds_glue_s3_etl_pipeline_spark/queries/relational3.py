@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.udfs import order_gap_stats
+from ..operators.prefix import global_row_number
 from .registry import DEC, query
 
 # --------------------------------------------------------------------------
@@ -27,15 +28,14 @@ WHERE o_orderkey % 10 = 0
 def q45_ordered_projection(spark, sf_dir):
     """Order preservation made explicit (SURVEY §2.6 O1): Spark has no
     implicit row order, so ordered output carries a materialized
-    sequence column from a window over the ordering key — the engine's
-    replacement for the reference's 'iterate the file in order'."""
+    sequence column — the engine's replacement for the reference's
+    'iterate the file in order'. Computed with the two-pass distributed
+    prefix operator (operators/prefix.py), NOT a single-partition
+    window: range-shuffle + per-partition rank + broadcast offsets, so
+    the plan holds at 100 TB."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    w = Window.orderBy("o_orderkey")
-    return o.select(
-        F.row_number().over(w).cast("long").alias("seq"),
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
+    return global_row_number(o, ["o_orderkey"], out_col="seq").select(
+        "seq", "o_orderkey", "o_orderstatus", "o_totalprice"
     )
 
 

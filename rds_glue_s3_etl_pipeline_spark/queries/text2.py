@@ -8,11 +8,11 @@ oracle checks the value path, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import text as X
+from ..operators.prefix import global_row_number
 from .registry import query
 
 # --------------------------------------------------------------------------
@@ -136,18 +136,16 @@ FROM documents
 
 @query("q65_deterministic_shuffle", oracle=_Q65_ORACLE, tags=("sample", "sort", "EXT"))
 def q65_deterministic_shuffle(spark, sf_dir):
-    """Reproducible epoch shuffle: total order by md5(doc_id). Spark
-    plans a range-partitioned sort (sampled boundaries), so at 100 TB
-    this is the standard 2-pass distributed sort — no single-task
-    window. The unpartitioned row_number here is local-test-size only;
-    the scale form writes the sort output with
-    monotonically-increasing file/row addressing instead."""
+    """Reproducible epoch shuffle: total order by md5(doc_id), with the
+    position assigned by the two-pass distributed prefix operator
+    (operators/prefix.py) — range-partition on the hash, rank within
+    partitions, broadcast prefix offsets. No single-task window; the
+    same plan shape is the standard distributed sort at 100 TB."""
     d = load(spark, sf_dir, "documents")
     hsh = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w = Window.orderBy(hsh, F.col("doc_id"))
-    return d.select(
-        "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
-    )
+    return global_row_number(
+        d.withColumn("__h", hsh), ["__h", "doc_id"], out_col="shuffle_pos"
+    ).select("doc_id", "shuffle_pos")
 
 
 # --------------------------------------------------------------------------

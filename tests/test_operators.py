@@ -191,3 +191,28 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(edges, max_iter=1)
     with pytest.warns(RuntimeWarning, match="did not converge"):
         connected_components(edges, max_iter=1, strict=False).collect()
+
+
+def test_global_row_number_matches_serial(spark):
+    from rds_glue_s3_etl_pipeline_spark.operators.prefix import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    df = spark.range(0, 1000).withColumn(
+        "k", (F.col("id") * 2654435761) % 1000003
+    ).withColumn("v", F.col("id").cast("double"))
+    out = global_row_number(df, ["k", "id"], out_col="seq", num_partitions=7)
+    rows = out.orderBy("seq").collect()
+    serial = sorted(((r["k"], r["id"]) for r in rows))
+    assert [(r["k"], r["id"]) for r in rows] == serial
+    assert [r["seq"] for r in rows] == list(range(1, 1001))
+
+    rs = global_running_sum(
+        df, ["id"], F.col("v"), out_col="rsum", num_partitions=5
+    )
+    got = {r["id"]: r["rsum"] for r in rs.collect()}
+    acc = 0.0
+    for i in range(1000):
+        acc += float(i)
+        assert got[i] == acc
