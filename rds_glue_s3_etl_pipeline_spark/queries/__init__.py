@@ -5,11 +5,13 @@ from . import relational  # noqa: F401
 from . import relational2  # noqa: F401
 from . import relational3  # noqa: F401
 from . import relational4  # noqa: F401
+from . import relational5  # noqa: F401
 from . import scalar2  # noqa: F401
 from . import merge_ops  # noqa: F401
 from . import events  # noqa: F401
 from . import text  # noqa: F401
 from . import text2  # noqa: F401
+from . import text3  # noqa: F401
 from . import vector  # noqa: F401
 from . import vector2  # noqa: F401
 from . import multimodal_q  # noqa: F401

@@ -189,3 +189,80 @@ def q18_sessionize(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sequenced funnel: view -> click -> purchase with strictly increasing
+# timestamps (each stage's earliest occurrence AFTER the prior stage).
+# --------------------------------------------------------------------------
+
+_Q82_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       epoch_ms(v.t_view) AS view_ms,
+       epoch_ms(c.t_click) AS click_ms,
+       epoch_ms(p.t_purchase) AS purchase_ms,
+       CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+            AS INT) AS funnel_depth
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@query("q82_user_funnel", oracle=_Q82_ORACLE, tags=("events", "join", "agg", "EXT"))
+def q82_user_funnel(spark, sf_dir):
+    """Ordered conversion funnel: per user, earliest view, earliest
+    click after that view, earliest purchase after that click. Three
+    aggregates all keyed on user_id — one shuffle partitioning reused
+    across every stage (Exchange reuse), stage frames shrink
+    monotonically."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_millis("t_view").alias("view_ms"),
+            F.unix_millis("t_click").alias("click_ms"),
+            F.unix_millis("t_purchase").alias("purchase_ms"),
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("funnel_depth"),
+        )
+    )
