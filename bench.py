@@ -39,6 +39,11 @@ HEADLINE = [
     "q59_ivf_topk",
     "q60_dup_clusters",
     "q65_deterministic_shuffle",
+    "q67_shipping_priority",
+    "q69_local_supplier_volume",
+    "q75_global_running_revenue",
+    "q77_tfidf_top_term",
+    "q78_contamination_check",
 ]
 
 
