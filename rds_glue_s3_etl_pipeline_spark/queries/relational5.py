@@ -402,3 +402,33 @@ def q75_global_running_revenue(spark, sf_dir):
     ).select(
         "o_orderkey", F.col("__rs").cast("double").alias("running_revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# W1 distribution functions: percent_rank / cume_dist.
+# --------------------------------------------------------------------------
+
+_Q85_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@query("q85_percent_rank", oracle=_Q85_ORACLE, tags=("window", "W1"))
+def q85_percent_rank(spark, sf_dir):
+    """Relative-position window functions (percent_rank, cume_dist)
+    per market segment. Exact rationals of ranks — deterministic
+    doubles in both engines. One shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -305,3 +305,40 @@ def q81_levenshtein_pairs(spark, sf_dir):
         .filter(F.col("dist") <= 2)
         .select("name_a", "name_b", "dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Percentile-band length filter: the classic pretraining heuristic
+# "drop the shortest/longest tails per language slice".
+# --------------------------------------------------------------------------
+
+_Q84_ORACLE = """
+WITH bands AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN bands b ON d.lang = b.lang
+WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+"""
+
+
+@query("q84_length_band_filter", oracle=_Q84_ORACLE, tags=("text", "agg", "A6", "EXT"))
+def q84_length_band_filter(spark, sf_dir):
+    """Keep documents inside the [p5, p95] length band of their
+    language slice. The per-slice quantiles aggregate to one tiny row
+    per lang and broadcast back onto the corpus scan — no shuffle of
+    the documents themselves. Exact interpolating percentile on
+    integer lengths matches DuckDB quantile_cont bit-for-bit."""
+    d = load(spark, sf_dir, "documents")
+    bands = d.groupBy(F.col("lang").alias("b_lang")).agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(bands), d.lang == F.col("b_lang"))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -127,3 +127,51 @@ def q33_lsh_cosine_pairs(spark, sf_dir):
     scale path of q34's blocked exact join. Rows-only check."""
     e = load(spark, sf_dir, "embeddings")
     return lsh_cosine_pairs(e, threshold=0.25, n_planes=4)
+
+
+# --------------------------------------------------------------------------
+# Embedding corpus statistics: per-label norms + centroid norm — the
+# sanity pass a pipeline runs before ANN indexing (detects unnormalized
+# slices / collapsed clusters).
+# --------------------------------------------------------------------------
+
+_Q83_ORACLE = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+norms AS (
+  SELECT label,
+         CAST(ROUND(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 4)
+              AS DECIMAL(18,4)) AS nrm
+  FROM e
+)
+SELECT CAST(label AS BIGINT) AS label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(nrm) AS DOUBLE) / COUNT(*) AS avg_norm,
+       CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+       CAST(MAX(nrm) AS DOUBLE) AS max_norm
+FROM norms GROUP BY label
+"""
+
+
+@query("q83_embedding_norm_stats", oracle=_Q83_ORACLE, tags=("vector", "agg", "EXT"))
+def q83_embedding_norm_stats(spark, sf_dir):
+    """Per-label embedding norm statistics. The norm is a row-local
+    zip_with/aggregate fold (JVM, codegen) — identical left-to-right
+    fold order in both engines — rounded to 4dp and decimal-summed so
+    the group aggregate is order-independent. One narrow scan + one
+    tiny hash aggregate at any corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    nrm = F.round(V.norm(V.as_double_array(F.col("embedding"))), 4).cast(
+        "decimal(18,4)"
+    )
+    return (
+        e.select(F.col("label").cast("long").alias("label"), nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum("nrm").cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+            F.min("nrm").cast("double").alias("min_norm"),
+            F.max("nrm").cast("double").alias("max_norm"),
+        )
+    )
