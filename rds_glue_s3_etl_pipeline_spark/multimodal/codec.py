@@ -90,3 +90,34 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_hash string"
+
+
+def sample_frame_table(
+    media: DataFrame, every_n: int = 256, frame_len: int = 16
+) -> DataFrame:
+    """Frame-sampling as a table expansion: one output row per sampled
+    frame (the video equivalent of a UDTF), via mapInPandas so frame
+    extraction happens inside Arrow batches on executors. Uses the
+    deterministic fake slicer (``sample_frames_stub`` semantics) —
+    a real pipeline swaps in ffmpeg keyframe extraction with the same
+    schema and batch shape."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                for idx, off in enumerate(range(0, max(len(payload), 1), every_n)):
+                    frame = payload[off : off + frame_len]
+                    rows.append(
+                        (doc_id, idx, len(frame), hashlib.md5(frame).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_hash"]
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

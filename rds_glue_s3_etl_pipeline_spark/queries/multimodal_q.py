@@ -39,3 +39,27 @@ def q36_multimodal_features(spark, sf_dir):
     return extract_features(media).select(
         "doc_id", "n_bytes", "mean_byte", F.col("max_byte").cast("long").alias("max_byte")
     )
+
+
+_Q86_ORACLE = """
+SELECT doc_id,
+       CAST((i - 1) // 256 AS INT) AS frame_idx,
+       CAST(octet_length(encode(substring(text, i, 16))) AS BIGINT) AS frame_bytes,
+       md5(substring(text, i, 16)) AS frame_hash
+FROM documents,
+     UNNEST(generate_series(1, GREATEST(length(text), 1), 256)) AS u(i)
+"""
+
+
+@query("q86_multimodal_frames", oracle=_Q86_ORACLE, tags=("multimodal", "udtf", "EXT"))
+def q86_multimodal_frames(spark, sf_dir):
+    """Frame-sampling expansion: one row per sampled 16-byte 'frame'
+    every 256 payload bytes, extracted inside mapInPandas (the exact
+    plumbing an ffmpeg keyframe sampler plugs into). The oracle
+    reproduces the fake frames byte-for-byte from the text payloads
+    (ASCII fixture: chars == bytes), so the whole Python expansion
+    path is hash-verified, not just row-counted."""
+    from ..multimodal.codec import sample_frame_table
+
+    media = attach_binary_payload(load(spark, sf_dir, "documents"))
+    return sample_frame_table(media, every_n=256, frame_len=16)
