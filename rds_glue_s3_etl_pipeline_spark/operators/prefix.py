@@ -49,10 +49,23 @@ def _ranged(df: DataFrame, order_cols, num_partitions: int | None):
 
 def _with_offsets(ranged: DataFrame, partials: DataFrame, partial_col: str):
     """Join exclusive prefix offsets (computed over the tiny
-    per-partition partials frame) back onto the ranged data."""
-    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = partials.select(
-        _PID, F.coalesce(F.sum(partial_col).over(w), F.lit(0)).alias(_OFFSET)
+    per-partition partials frame) back onto the ranged data.
+
+    The exclusive prefix is a triangular self-join + re-aggregation
+    rather than an unpartitioned window: the partials frame has one row
+    per partition (kilobytes at any scale), so the O(P^2) join is
+    trivial, stays fully declarative, and avoids the single-partition
+    WindowExec this module exists to eliminate (Catalyst folds away
+    constant partitionBy keys, so there is no way to "partition" that
+    window honestly)."""
+    left = partials.select(_PID, F.col(partial_col))
+    prior = partials.select(
+        F.col(_PID).alias("__prior_pid"), F.col(partial_col).alias("__prior_val")
+    )
+    offsets = (
+        left.join(F.broadcast(prior), F.col("__prior_pid") < F.col(_PID), "left")
+        .groupBy(_PID)
+        .agg(F.coalesce(F.sum("__prior_val"), F.lit(0)).alias(_OFFSET))
     )
     return ranged.join(F.broadcast(offsets), _PID)
 

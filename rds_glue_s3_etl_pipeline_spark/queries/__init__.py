@@ -6,6 +6,7 @@ from . import relational2  # noqa: F401
 from . import relational3  # noqa: F401
 from . import relational4  # noqa: F401
 from . import relational5  # noqa: F401
+from . import relational6  # noqa: F401
 from . import scalar2  # noqa: F401
 from . import merge_ops  # noqa: F401
 from . import events  # noqa: F401
