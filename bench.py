@@ -44,6 +44,9 @@ HEADLINE = [
     "q75_global_running_revenue",
     "q77_tfidf_top_term",
     "q78_contamination_check",
+    "q88_market_share",
+    "q93_large_volume_customers",
+    "q97_waiting_suppliers",
 ]
 
 

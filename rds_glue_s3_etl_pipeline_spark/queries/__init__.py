@@ -9,6 +9,7 @@ from . import relational5  # noqa: F401
 from . import relational6  # noqa: F401
 from . import scalar2  # noqa: F401
 from . import merge_ops  # noqa: F401
+from . import etl2  # noqa: F401
 from . import events  # noqa: F401
 from . import text  # noqa: F401
 from . import text2  # noqa: F401

@@ -1,0 +1,112 @@
+"""ETL/CDC extensions: SCD2 change application (the history-keeping
+form of the reference's overwrite-upsert, `/root/reference/
+gule_test_job.py:124-156` + `:200-211`) and Gopher-style repetition
+quality signals for training-data curation (SURVEY §2 EXT text
+analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.cdc import scd2_apply
+from .registry import query
+
+# --------------------------------------------------------------------------
+# SCD2 upsert: apply a derived change batch to the customer dimension.
+# --------------------------------------------------------------------------
+
+_Q100_ORACLE = """
+WITH changes AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, c_acctbal, c_mktsegment, version, is_current FROM (
+  SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+         'base' AS version, TRUE AS is_current
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = c.c_custkey)
+  UNION ALL
+  SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+         'closed' AS version, FALSE AS is_current
+  FROM customer c
+  WHERE EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = c.c_custkey)
+  UNION ALL
+  SELECT ch.c_custkey, ch.c_acctbal, ch.c_mktsegment,
+         'updated' AS version, TRUE AS is_current
+  FROM changes ch
+) t
+"""
+
+
+@query("q100_scd2_upsert", oracle=_Q100_ORACLE, tags=("merge", "cdc", "EXT"))
+def q100_scd2_upsert(spark, sf_dir):
+    """SCD type-2 change application on the customer dimension: a
+    deterministic change batch (every 10th customer gets +100 balance)
+    produces closed-out prior versions plus new current versions, with
+    untouched customers passing through. One broadcast full-outer join
+    classifies every row; the snapshot never shuffles."""
+    c = load(spark, sf_dir, "customer")
+    changes = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return scd2_apply(
+        c.select("c_custkey", "c_acctbal", "c_mktsegment"),
+        changes,
+        key="c_custkey",
+        tracked=["c_acctbal", "c_mktsegment"],
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals: top-token share + unique-token ratio.
+# --------------------------------------------------------------------------
+
+_Q101_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_toks,
+         CAST(COUNT(*) AS BIGINT) AS n_unique,
+         CAST(MAX(c) AS BIGINT) AS top_cnt
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_toks, n_unique, top_cnt,
+       CAST(top_cnt AS DOUBLE) / n_toks AS top_share,
+       CAST(n_unique AS DOUBLE) / n_toks AS unique_ratio
+FROM agg
+"""
+
+
+@query("q101_repetition_signals", oracle=_Q101_ORACLE, tags=("text", "agg", "EXT"))
+def q101_repetition_signals(spark, sf_dir):
+    """Repetition-based quality signals (Gopher rules): most-frequent-
+    token share and unique-token ratio per document. Two hash
+    aggregations over the exploded token table; both shuffles key on
+    doc_id(+tok), so the plan scales linearly with corpus size — no
+    per-document Python."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_toks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.max("c").cast("long").alias("top_cnt"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_toks",
+        "n_unique",
+        "top_cnt",
+        (F.col("top_cnt").cast("double") / F.col("n_toks")).alias("top_share"),
+        (F.col("n_unique").cast("double") / F.col("n_toks")).alias("unique_ratio"),
+    )

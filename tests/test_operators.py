@@ -216,3 +216,25 @@ def test_global_row_number_matches_serial(spark):
     for i in range(1000):
         acc += float(i)
         assert got[i] == acc
+
+
+def test_scd2_apply_update_insert_passthrough(spark):
+    from rds_glue_s3_etl_pipeline_spark.operators.cdc import scd2_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [(2, 99.0), (4, 40.0)], "k long, v double"  # update key 2, insert key 4
+    )
+    rows = {
+        (r["k"], r["version"]): (r["v"], r["is_current"])
+        for r in scd2_apply(base, changes, key="k", tracked=["v"]).collect()
+    }
+    assert rows == {
+        (1, "base"): (10.0, True),
+        (3, "base"): (30.0, True),
+        (2, "closed"): (20.0, False),
+        (2, "updated"): (99.0, True),
+        (4, "updated"): (40.0, True),
+    }
