@@ -699,3 +699,66 @@ def q99_dominant_suppliers(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Q21 again, as the aggregation rewrite you'd run at 100 TB.
+# --------------------------------------------------------------------------
+
+_Q102_ORACLE = _Q97_ORACLE
+
+
+@query("q102_waiting_suppliers_agg", oracle=_Q102_ORACLE, tags=("join", "agg", "O3"))
+def q102_waiting_suppliers_agg(spark, sf_dir):
+    """Same semantics as q97_waiting_suppliers, rewritten without the
+    two lineitem self-joins: per-order aggregates (supplier count, max
+    ship date, its holder count, runner-up max) decide each line's
+    EXISTS / NOT EXISTS outcome arithmetically. A line qualifies iff
+    the order has >=2 suppliers and no OTHER supplier shipped later —
+    i.e. shipdate >= the runner-up max (m2) when this supplier uniquely
+    holds the order max, else >= the order max (m1). All per-order
+    stats come from window functions over ONE hash partitioning of
+    lineitem on l_orderkey — a single shuffle and zero self-joins,
+    vs. three shuffles + two potentially fanning-out joins in the
+    literal EXISTS form (q97).
+    """
+    # One explicit hash partitioning on l_orderkey: HashPartitioning on
+    # a subset of the grouping/join keys satisfies every downstream
+    # ClusteredDistribution here — groupBy(ok,sk), groupBy(ok), and the
+    # ok/ok+sk joins all reuse this single exchange instead of
+    # re-shuffling on composite keys.
+    w = Window.partitionBy("l_orderkey")
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .withColumn("m1", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+    )
+    # Second window pass (same partitioning, same stage): who holds the
+    # max, and the runner-up ship date.
+    l = l.withColumn(
+        "m1_holders",
+        F.collect_set(
+            F.when(F.col("l_shipdate") == F.col("m1"), F.col("l_suppkey"))
+        ).over(w),
+    ).withColumn(
+        "m2",
+        F.max(
+            F.when(F.col("l_shipdate") < F.col("m1"), F.col("l_shipdate"))
+        ).over(w),
+    )
+    sole_max_holder = (F.size("m1_holders") == 1) & F.array_contains(
+        "m1_holders", F.col("l_suppkey")
+    )
+    max_other = F.when(sole_max_holder, F.col("m2")).otherwise(F.col("m1"))
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        l.filter((F.col("n_supp") >= 2) & (F.col("l_shipdate") >= max_other))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
