@@ -91,3 +91,60 @@ def q104_latest_event_per_user(spark, sf_dir):
         F.max_by("event_type", ordk).alias("event_type"),
         F.unix_millis(F.max("ts")).alias("ts_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL sketches: per-slice sketch, union, no re-scan.
+# --------------------------------------------------------------------------
+
+_Q105_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sketch_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sketch_ok
+FROM events
+"""
+
+
+@query("q105_hll_sketch_union", oracle=_Q105_ORACLE, tags=("events", "agg", "A4", "EXT"))
+def q105_hll_sketch_union(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-event-type user sketches are
+    built in one pass, and the GLOBAL distinct-user estimate comes from
+    unioning those sketch binaries — never re-scanning events. That
+    merge step is the 100 TB pattern: per-partition/per-day sketches
+    roll up to any coarser grain for free. Sketch bytes are
+    engine-specific, so the oracle pins the exact counts and the query
+    asserts in-band each estimate is within 5% of exact."""
+    e = load(spark, sf_dir, "events")
+    band = 0.05
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= F.col("exact_users").cast("double") * band
+        ).alias("sketch_ok"),
+    )
+    global_exact = e.agg(F.countDistinct("user_id").alias("g_exact"))
+    merged = (
+        per_type.agg(F.hll_union_agg("sk").alias("gsk"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.col("g_exact").cast("long").alias("exact_users"),
+            (
+                F.abs(F.hll_sketch_estimate("gsk") - F.col("g_exact"))
+                <= F.col("g_exact").cast("double") * band
+            ).alias("sketch_ok"),
+        )
+    )
+    return typed.unionByName(merged)
