@@ -45,8 +45,9 @@ def q100_scd2_upsert(spark, sf_dir):
     """SCD type-2 change application on the customer dimension: a
     deterministic change batch (every 10th customer gets +100 balance)
     produces closed-out prior versions plus new current versions, with
-    untouched customers passing through. One broadcast full-outer join
-    classifies every row; the snapshot never shuffles."""
+    untouched customers passing through. One broadcast left join
+    classifies every snapshot row (inserts come straight from the
+    change batch); the snapshot never shuffles."""
     c = load(spark, sf_dir, "customer")
     changes = c.filter(F.col("c_custkey") % 10 == 0).select(
         "c_custkey",
@@ -109,4 +110,37 @@ def q101_repetition_signals(spark, sf_dir):
         "top_cnt",
         (F.col("top_cnt").cast("double") / F.col("n_toks")).alias("top_share"),
         (F.col("n_unique").cast("double") / F.col("n_toks")).alias("unique_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout keys (exact-verified bit interleave).
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_TERMS = " | ".join(
+    f"((((l_partkey >> {i}) & 1) << {2 * i}) | "
+    f"(((l_suppkey >> {i}) & 1) << {2 * i + 1}))"
+    for i in range(_Z_BITS)
+)
+_Q106_ORACLE = f"""
+SELECT l_orderkey, l_linenumber, CAST({_Z_TERMS} AS BIGINT) AS zkey
+FROM lineitem
+"""
+
+
+@query("q106_zorder_key", oracle=_Q106_ORACLE, tags=("layout", "EXT"))
+def q106_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    the layout step behind multi-dimensional file pruning — range-
+    partitioning + sorting by this key before a parquet write gives
+    row-group min/max locality on BOTH columns. Pure built-in bit
+    arithmetic (shiftleft/shiftright/AND/OR), fully inside codegen; the
+    oracle replays the identical interleave in SQL, so the key is
+    exact-verified bit for bit."""
+    from ..operators.layout import zorder_by
+
+    l = load(spark, sf_dir, "lineitem")
+    return zorder_by(l, "l_partkey", "l_suppkey", bits=_Z_BITS).select(
+        "l_orderkey", "l_linenumber", "zkey"
     )

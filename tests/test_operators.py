@@ -238,3 +238,37 @@ def test_scd2_apply_update_insert_passthrough(spark):
         (2, "updated"): (99.0, True),
         (4, "updated"): (40.0, True),
     }
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    """Chunks of a Z-order-sorted grid must have far tighter spread on
+    the SECOND dimension than chunks of a first-dimension sort (that is
+    the entire point of the layout: min/max pruning works on both
+    columns)."""
+    from rds_glue_s3_etl_pipeline_spark.operators.layout import zorder_by
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    rows = (
+        zorder_by(grid, "a", "b", bits=6)
+        .orderBy("zkey")
+        .select("a", "b")
+        .collect()
+    )
+
+    def mean_b_spread(ordered, chunk=64):
+        spreads = []
+        for i in range(0, len(ordered), chunk):
+            bs = [r["b"] for r in ordered[i : i + chunk]]
+            spreads.append(max(bs) - min(bs))
+        return sum(spreads) / len(spreads)
+
+    z_spread = mean_b_spread(rows)
+    a_sorted = sorted(rows, key=lambda r: (r["a"], r["b"]))
+    a_spread = mean_b_spread(a_sorted)
+    # 64-row chunks of a 64x64 grid: Z-order gives ~8x8 boxes (b-spread
+    # ~7), a-sort gives 1x64 stripes (b-spread 63).
+    assert z_spread <= 15
+    assert a_spread >= 60
+    assert z_spread * 4 < a_spread
