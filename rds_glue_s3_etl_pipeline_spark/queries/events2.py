@@ -148,3 +148,36 @@ def q105_hll_sketch_union(spark, sf_dir):
         )
     )
     return typed.unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# Bitmap-based EXACT distinct counts — mergeable like a sketch, exact
+# like COUNT(DISTINCT).
+# --------------------------------------------------------------------------
+
+_Q107_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events GROUP BY event_type
+"""
+
+
+@query("q107_bitmap_distinct", oracle=_Q107_ORACLE, tags=("events", "agg", "A4", "EXT"))
+def q107_bitmap_distinct(spark, sf_dir):
+    """Exact distinct users per event type WITHOUT a COUNT(DISTINCT)
+    shuffle of raw keys: user ids are packed into fixed-size bitmap
+    buckets (bitmap_construct_agg over bit positions), partial bitmaps
+    OR-merge across partitions, and popcounts sum per group. Shuffle
+    volume is #buckets x #groups bitmaps, independent of row count —
+    and unlike HLL (q105) the result is exact. This is the roll-up
+    pattern for precomputed distinct-count cubes at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    per_bucket = e.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("exact_users"))
+    )
