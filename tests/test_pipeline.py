@@ -78,3 +78,31 @@ def test_jdbc_reader_configuration(spark):
     )
     # Reader is configured but not loaded (no live DB in tests).
     assert reader is not None
+
+
+def test_ordered_json_datasource(spark, tmp_path):
+    """Custom Python DataSource: one JSON object-array document read
+    with record order captured in _seq (the reference's S1+O1
+    contract)."""
+    import json as _json
+
+    from rds_glue_s3_etl_pipeline_spark.sources.ordered_json import (
+        OrderedJsonDataSource,
+    )
+
+    recs = [
+        {"id": 3, "name": "c"},
+        {"id": 1, "name": "a"},
+        {"id": 2, "name": None},
+    ]
+    p = tmp_path / "feed.json"
+    p.write_text(_json.dumps(recs))
+    spark.dataSource.register(OrderedJsonDataSource)
+    df = (
+        spark.read.format("ordered_json")
+        .schema("id long, name string, _seq long")
+        .option("path", str(p))
+        .load()
+    )
+    rows = [tuple(r) for r in df.orderBy("_seq").collect()]
+    assert rows == [(3, "c", 0), (1, "a", 1), (2, None, 2)]
