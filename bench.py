@@ -47,6 +47,8 @@ HEADLINE = [
     "q88_market_share",
     "q93_large_volume_customers",
     "q97_waiting_suppliers",
+    "q102_waiting_suppliers_agg",
+    "q108_dup_clusters_staged",
 ]
 
 
