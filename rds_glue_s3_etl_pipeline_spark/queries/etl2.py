@@ -144,3 +144,75 @@ def q106_zorder_key(spark, sf_dir):
     return zorder_by(l, "l_partkey", "l_suppkey", bits=_Z_BITS).select(
         "l_orderkey", "l_linenumber", "zkey"
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters — a mergeable frequency sketch built
+# from nothing but groupBy/min, verified in-band against exact counts.
+# --------------------------------------------------------------------------
+
+_CMS_SEEDS = 4
+_CMS_WIDTH = 1024
+_CMS_TOPK = 20
+
+_Q109_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok)
+SELECT tok, exact_cnt, TRUE AS cms_ok
+FROM cnt
+ORDER BY exact_cnt DESC, tok
+LIMIT {_CMS_TOPK}
+"""
+
+
+@query("q109_countmin_heavy_hitters", oracle=_Q109_ORACLE, tags=("text", "agg", "sketch", "EXT"))
+def q109_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch over the token stream, as pure DataFrame ops:
+    each token occurrence increments d=4 x w=1024 counters
+    (groupBy(seed, bucket) — the counter matrix is w*d rows TOTAL,
+    independent of corpus size, and merges across partitions/days by
+    summing). Heavy-hitter estimates = min over seeds of the joined
+    counters. CMS guarantees est >= exact; the in-band check also
+    bounds the overestimate by 8*N/w (Markov bound across 4
+    independent seeds), so the oracle pins exact top-k counts and the
+    sketch must agree within theory."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    seeds = spark.range(_CMS_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    keyed = toks.crossJoin(F.broadcast(seeds)).select(
+        "tok", "seed", F.pmod(F.xxhash64("tok", "seed"), F.lit(_CMS_WIDTH)).alias("bkt")
+    )
+    counters = keyed.groupBy("seed", "bkt").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(_CMS_TOPK)
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+
+    est = (
+        top.crossJoin(F.broadcast(seeds))
+        .select(
+            "tok",
+            "exact_cnt",
+            "seed",
+            F.pmod(F.xxhash64("tok", "seed"), F.lit(_CMS_WIDTH)).alias("bkt"),
+        )
+        .join(F.broadcast(counters), ["seed", "bkt"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (
+                (F.col("est") >= F.col("exact_cnt"))
+                & (
+                    F.col("est")
+                    <= F.col("exact_cnt") + 8.0 * F.col("n_total") / F.lit(_CMS_WIDTH)
+                )
+            ).alias("cms_ok"),
+        )
+    )
