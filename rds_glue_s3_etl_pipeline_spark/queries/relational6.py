@@ -762,3 +762,39 @@ def q102_waiting_suppliers_agg(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Salted skew join, driver-verified: output must equal the plain join.
+# --------------------------------------------------------------------------
+
+_Q110_ORACLE = f"""
+SELECT s.s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {O_DSUM("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
+@query("q110_salted_skew_join", oracle=_Q110_ORACLE, tags=("join", "skew", "J5"))
+def q110_salted_skew_join(spark, sf_dir):
+    """The explicit salting fallback (operators/skew.py) on a real
+    join: lineitem⋈supplier via (key, salt) so a hot supplier key
+    spreads over 8 reduce partitions. The oracle is the PLAIN join —
+    salting must be invisible in the result. This is the opt-in path
+    for hot keys AQE's skew-split can't reach (broadcast-disabled
+    shuffled hash joins, pre-AQE clusters); the suppkey→nation rollup
+    proves cardinality is preserved exactly."""
+    from ..operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(l, s, on="s_suppkey", how="inner", salt_n=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
