@@ -58,14 +58,19 @@ DEC = "decimal(24,8)"
 
 
 def dsum(col):
-    """Order-independent exact SUM of a double column: decimal-sum then
-    cast back to double. DuckDB twin: CAST(SUM(CAST(x AS DECIMAL(24,8))) AS DOUBLE).
+    """Order-independent exact SUM of a double column: decimal-sum,
+    then decimal -> STRING -> double. The string hop matters: casting
+    the exact decimal straight to double rounds differently in Spark
+    vs DuckDB by 1 ulp once totals reach ~1e10 (observed at sf0.1 on
+    q01/q27/q75), while string->double parsing is correctly-rounded
+    IEEE in both engines, so the doubles match bit for bit at any
+    magnitude. DuckDB twin: O_DSUM.
     """
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return F.sum(c.cast(DEC)).cast("string").cast("double")
 
 
 def O_DSUM(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(24,8))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE)"

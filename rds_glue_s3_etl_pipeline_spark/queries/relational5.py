@@ -378,10 +378,10 @@ def q74_moment_stats(spark, sf_dir):
 
 _Q75_ORACLE = """
 SELECT o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8)))
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,8)))
             OVER (ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS running_revenue
+            AS VARCHAR) AS DOUBLE) AS running_revenue
 FROM orders
 """
 
@@ -400,7 +400,10 @@ def q75_global_running_revenue(spark, sf_dir):
         F.col("o_totalprice").cast(DEC),
         out_col="__rs",
     ).select(
-        "o_orderkey", F.col("__rs").cast("double").alias("running_revenue")
+        "o_orderkey",
+        # string hop: correctly-rounded decimal->double in both engines
+        # (see registry.dsum).
+        F.col("__rs").cast("string").cast("double").alias("running_revenue"),
     )
 
 

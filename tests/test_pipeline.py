@@ -106,3 +106,30 @@ def test_ordered_json_datasource(spark, tmp_path):
     )
     rows = [tuple(r) for r in df.orderBy("_seq").collect()]
     assert rows == [(3, "c", 0), (1, "a", 1), (2, None, 2)]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """S6 at scale: a partitionBy write must yield directory-level
+    partition pruning on read — the filter shows up as a
+    PartitionFilter (not a data filter), so non-matching partitions
+    are never opened."""
+    import io
+    from contextlib import redirect_stdout
+
+    from rds_glue_s3_etl_pipeline_spark.sources.sinks import write_parquet
+
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", float(i)) for i in range(100)],
+        "id long, flag string, v double",
+    )
+    path = str(tmp_path / "part_tbl")
+    write_parquet(df, path, partition_by=["flag"])
+
+    back = spark.read.parquet(path).filter(F.col("flag") == "A")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert plan.count("(flag = A)") >= 1 or "flag#" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == 50

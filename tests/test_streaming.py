@@ -173,3 +173,65 @@ def test_user_running_totals_stateful(spark, tmp_path):
     for u in expect:
         assert got[u][0] == expect[u][0]
         assert abs(got[u][1] - expect[u][1]) < 1e-6
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T3: with a 30-minute watermark, an event arriving after the
+    watermark has passed its window is DROPPED from the windowed
+    aggregation (append mode). Two sequential micro-batches: the second
+    contains one fresh event (advances the watermark far ahead) and one
+    very-late event whose window must never be emitted with it."""
+    import pandas as pd
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    schema_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def drop(name, rows):
+        pdf = pd.DataFrame(rows, columns=schema_cols)
+        # The event feed carries TIMESTAMP(NANOS) stored as int64 —
+        # mirror that (read_event_stream reads ts as long nanos).
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("int64")
+        pdf.to_parquet(d / name)
+
+    # Batch 1: two events at 10:00-ish -> watermark ends up ~09:30.
+    drop(
+        "b1.parquet",
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 10:05:00", 1, "view", 1.0, "{}"),
+        ],
+    )
+    stream = read_event_stream(spark, str(d))
+    agg = tumbling_counts(stream, window="10 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t3_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_t3"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 2: fresh event at 20:00 (watermark -> 19:30) plus an
+        # 08:00 straggler, far below the new watermark.
+        drop(
+            "b2.parquet",
+            [
+                (3, "2024-01-01 20:00:00", 2, "view", 1.0, "{}"),
+                (4, "2024-01-01 08:00:00", 3, "view", 1.0, "{}"),
+            ],
+        )
+        q.processAllAvailable()
+        # Batch 3: another advance so the 10:00 window closes and emits.
+        drop("b3.parquet", [(5, "2024-01-01 21:00:00", 2, "view", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM t3_late").collect()
+    emitted_starts = {str(r["window_start"]) for r in out}
+    # The 10:00 and 10:00-ish windows from batch 1 eventually emit...
+    assert any("10:0" in s for s in emitted_starts)
+    # ...but the 08:00 straggler's window was dropped, never emitted.
+    assert not any("08:0" in s for s in emitted_starts)
