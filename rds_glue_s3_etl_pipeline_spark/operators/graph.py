@@ -91,3 +91,96 @@ def connected_components(
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SOCC'14). Same contract as :func:`connected_components`
+    — (id, cluster_id=component min) for every node appearing in
+    ``edges`` — but converges in O(log²·n) rounds independent of the
+    graph DIAMETER, where min-label propagation needs O(diameter)
+    rounds. A 100-hop chain (pathological dedup corpus: A≈B≈C≈...)
+    finishes in ~7 rounds here vs 100 joins there.
+
+    Each round is two groupBy-min passes over the edge list — no
+    label-table join, so the shuffle volume per round is the edge
+    count, and the edge count only SHRINKS (edges contract onto
+    component minima).
+
+    large-star: every node hooks its larger neighbors onto its
+    neighborhood minimum; small-star: every node hooks its
+    smaller-or-equal neighbors (and itself) onto that minimum.
+    Fixpoint = edge set stable; final edges are stars (node → root).
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        # Cheap stability signature of the (undirected) edge set.
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: hash values span the full long range, a
+            # long sum overflows under ANSI arithmetic
+            F.sum(
+                F.xxhash64(F.least("u", "v"), F.greatest("u", "v")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        # --- large-star: group the symmetric edge list by u; each
+        # strictly-larger neighbor v re-attaches to m = min(N(u) ∪ {u}).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: orient every edge large→small, group by the
+        # large end; all neighbors (≤ u) and u itself attach to the min.
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), "m")
+            .union(mins.select(F.col("u"), F.col("m")))
+            .filter(F.col("u") != F.col("m"))
+            .select("u", F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not stabilize in {max_iter} rounds"
+        )
+
+    # Stars: every edge is (node, root). Roots have no outgoing edge —
+    # union them back labelled by themselves.
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    return members.union(roots).distinct()

@@ -18,3 +18,4 @@ from . import text3  # noqa: F401
 from . import vector  # noqa: F401
 from . import vector2  # noqa: F401
 from . import multimodal_q  # noqa: F401
+from . import scale2  # noqa: F401

@@ -178,6 +178,51 @@ def test_connected_components_two_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_star_matches_label_propagation(spark):
+    import random
+
+    from rds_glue_s3_etl_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # Random graph: 120 nodes, sparse edges → several components of
+    # varying shape. Star contraction must agree with label
+    # propagation exactly.
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(90)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(df).collect()
+    }
+    plain = {
+        r["id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert star == plain
+
+
+def test_connected_components_star_long_chain(spark):
+    from rds_glue_s3_etl_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # A 100-hop path: diameter 100 defeats O(diameter) label
+    # propagation at default max_iter, but star contraction halves the
+    # structure every round — well under its round cap.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert out == {i: 0 for i in range(101)}
+
+
 def test_connected_components_raises_without_convergence(spark):
     import pytest
 
