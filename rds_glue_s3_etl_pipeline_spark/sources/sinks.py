@@ -41,3 +41,45 @@ def write_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return path
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Compact a small-files parquet directory into ~``target_file_bytes``
+    files; returns the output file count.
+
+    The small-files problem is THE steady-state killer of a streaming/
+    incremental 100 TB lake: every micro-batch or hourly job drops a
+    few KB-to-MB files, listing cost grows linearly, and scan tasks
+    shrink until scheduler overhead dominates. Compaction is a
+    maintenance rewrite: size the partition count from the actual input
+    bytes, optionally re-sort within files so min/max row-group stats
+    stay selective (pair with operators/layout.py z-ordering for
+    multi-column pruning).
+
+    File count = ceil(input_bytes / target). Data-dependent but
+    deterministic; the rewrite itself is one narrow repartition (or a
+    range-partitioned sort when ``sort_by`` is given — the sort IS the
+    shuffle, no extra exchange).
+    """
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet") or f.startswith("part-")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    if sort_by:
+        df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst_dir)
+    return len(glob.glob(os.path.join(dst_dir, "part-*.parquet")))

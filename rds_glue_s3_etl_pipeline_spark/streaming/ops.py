@@ -110,6 +110,46 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on, "left")
 
 
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T7: stream-stream interval join — attribute each purchase to the
+    view by the same user within ``horizon`` before it (the classic
+    ad-attribution shape). Both sides are watermarked so Spark can
+    expire join state: a buffered view is droppable once the purchase
+    watermark passes view_ts + horizon. The join is equi on user_id
+    plus a time-range predicate — state is hash-partitioned by user_id,
+    no cross-partition scans.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def notify_each_batch(
     stream: DataFrame,
     notify: Callable[[str], None],

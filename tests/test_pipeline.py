@@ -133,3 +133,42 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert plan.count("(flag = A)") >= 1 or "flag#" in plan.split("PartitionFilters")[1][:200]
     assert back.count() == 50
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from rds_glue_s3_etl_pipeline_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    # Simulate a micro-batch-fragmented table: 40 tiny part files.
+    spark.range(0, 20000).withColumn("k", F.col("id") % 97).repartition(
+        40
+    ).write.parquet(src)
+    import glob as g
+
+    assert len(g.glob(src + "/part-*.parquet")) == 40
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1  # everything fits one target-sized file
+    assert spark.read.parquet(dst).count() == 20000
+
+    # Sorted compaction: files carry disjoint key ranges so parquet
+    # min/max stats prune cleanly.
+    dst2 = str(tmp_path / "compacted_sorted")
+    total = sum(
+        __import__("os").path.getsize(p) for p in g.glob(src + "/part-*.parquet")
+    )
+    n2 = compact_parquet(
+        spark, src, dst2, target_file_bytes=total // 4, sort_by=["k", "id"]
+    )
+    assert 3 <= n2 <= 6
+    ranges = []
+    for p in sorted(g.glob(dst2 + "/part-*.parquet")):
+        pdf = spark.read.parquet(p).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).first()
+        ranges.append((pdf["lo"], pdf["hi"]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary key may touch)
+    assert spark.read.parquet(dst2).count() == 20000

@@ -100,6 +100,56 @@ def test_stateful_dedup_drops_replays(spark, tmp_path):
     assert out.count() == n_events  # duplicates from the replay removed
 
 
+def test_attribution_join_matches_batch(spark, events_dir, tmp_path):
+    from rds_glue_s3_etl_pipeline_spark.streaming.ops import attribution_join
+
+    stream = read_event_stream(spark, events_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    got = run_to_memory(
+        attribution_join(views, purchases, "1 hour", "2 hours"),
+        spark,
+        "t7",
+        tmp_path,
+    )
+    # Batch twin: same interval join over the static table.
+    ev = load(spark, SF, "events")
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = (
+        bv.join(
+            bp,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 1 hour")
+            ),
+        )
+        .select("view_id", "purchase_id")
+        .collect()
+    )
+    got_pairs = {
+        (r["view_id"], r["purchase_id"])
+        for r in got.select("view_id", "purchase_id").collect()
+    }
+    batch_pairs = {(r["view_id"], r["purchase_id"]) for r in batch}
+    # availableNow run: matured pairs must agree with the batch join;
+    # pairs still inside the watermark horizon may be withheld.
+    assert len(got_pairs) > 0
+    assert got_pairs <= batch_pairs
+    # everything older than (max ts - watermark - horizon) must be out
+    assert len(batch_pairs - got_pairs) < len(batch_pairs)
+
+
 def test_stream_static_join(spark, events_dir, tmp_path):
     stream = read_event_stream(spark, events_dir)
     dim = spark.createDataFrame(
