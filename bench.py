@@ -49,6 +49,9 @@ HEADLINE = [
     "q97_waiting_suppliers",
     "q102_waiting_suppliers_agg",
     "q108_dup_clusters_staged",
+    "q111_bloom_pruned_join",
+    "q113_dup_clusters_bigstar",
+    "q115_chunk_dedup",
 ]
 
 
