@@ -255,3 +255,42 @@ def q121_weighted_sample(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("c_mktsegment", "rk", "c_custkey", "c_acctbal")
     )
+
+
+# --------------------------------------------------------------------------
+# q118: semi-structured shredding via VariantType (Spark 4) — parse
+# once into the binary variant encoding, then typed-path extraction.
+# Against a 100 TB event stream this is the schema-on-read path that
+# does NOT re-parse JSON text per access: variant decode is a typed
+# byte-offset lookup, and shredded columns behave like native ones
+# downstream (here: grouped stats on the extracted key).
+# --------------------------------------------------------------------------
+
+_Q118_ORACLE = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER)
+         AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k
+FROM events
+WHERE event_type = 'click'
+GROUP BY k_bucket
+"""
+
+
+@query("q118_variant_shred", oracle=_Q118_ORACLE, tags=("json", "variant", "EXT"))
+def q118_variant_shred(spark, sf_dir):
+    """Shred events.props through VariantType: parse_json once,
+    variant_get typed extraction, then plain grouped aggregation on
+    the shredded value. The filter on event_type still pushes to the
+    parquet scan (shredding happens after pruning)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
