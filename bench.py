@@ -84,17 +84,25 @@ def main() -> None:
     # run-to-run with an idle machine in between; jstack loops show no
     # in-process culprit). One retimed pass filters those spikes out of
     # the recorded numbers without hiding real regressions.
-    timings: dict[str, float] = {}
+    # Fail-soft per query: one broken query must never zero out the
+    # whole bench artifact — record its error string and keep timing
+    # the rest (errors sum as 0 into the total, visible in "queries").
+    timings: dict[str, float | str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         best = float("inf")
+        err: str | None = None
         for _ in range(2):
             t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
+            try:
+                materialize(fn(spark, sf_dir))
+            except Exception as e:
+                err = f"{type(e).__name__}: {e}"[:300]
+                break
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = f"err: {err}" if err else round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     print(
         json.dumps(
             {

@@ -39,10 +39,14 @@ def load(
 ) -> DataFrame:
     """Load one table. Parquet scan → pushdown/pruning come free.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    refuses to map to TimestampType; read it as raw nanos
-    (``nanosAsLong``) and truncate to microseconds — the identical
-    ns→us truncation DuckDB applies when it reads the same file.
+    ``events.ts`` has been written by the fixture generator as parquet
+    TIMESTAMP(NANOS) in some rounds and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) in others. Normalize whatever we get to
+    TimestampType: nanos arrive as bigint under ``nanosAsLong`` and are
+    truncated to micros (the identical ns→us truncation DuckDB applies);
+    micros-NTZ arrives as TIMESTAMP_NTZ and is cast to TimestampType —
+    the session timezone is pinned UTC, so the cast preserves the
+    instant and the DuckDB oracle hashes. tz-aware micros needs nothing.
 
     The local test files are single-row-group parquet, so a bare scan
     is ONE task and everything downstream of it runs on one core. On a
@@ -62,15 +66,21 @@ def load(
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) fixtures
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # TIMESTAMP(MICROS, !adjustedToUTC)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if parallel is None:
         parallel = name in FACT_TABLES
     if parallel:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < min(target, 8):
+        # inputFiles() is metadata-only (no RDD plan conversion); the
+        # local fixtures are single-file/single-row-group, so file
+        # count is the partition count that matters here.
+        if len(df.inputFiles()) < min(target, 8):
             df = df.repartition(target)
     return df
 

@@ -11,32 +11,64 @@ map-side-combinable before the stateful operator.
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENT_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+_EVENT_COLS = "event_id long, {ts}, user_id long, event_type string, value double, props string"
+
+
+def _event_ts_encoding(dir_path: str) -> str:
+    """Peek at one parquet footer to learn how ``ts`` is physically
+    encoded — the fixture generator has shipped TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) in different rounds, and a
+    streaming source needs its schema declared before the first batch.
+    Footer-only read on the driver; no data pages touched.
+    Returns 'nanos' | 'ntz' | 'tz'."""
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(dir_path, "*.parquet")))
+    if not files:
+        return "ntz"  # current fixture encoding; harmless default
+    t = pq.read_schema(files[0]).field("ts").type
+    # TIMESTAMP(NANOS) and bare INT64 both surface as bigint under
+    # nanosAsLong — the event feed's historical nanos convention.
+    if str(t) == "int64" or getattr(t, "unit", None) == "ns":
+        return "nanos"
+    return "tz" if getattr(t, "tz", None) else "ntz"
 
 
 def read_event_stream(
     spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-based event stream (parquet drops). The same TIMESTAMP(NANOS)
-    normalization as catalog.load: nanos → microsecond timestamps.
+    """File-based event stream (parquet drops). Applies the same ts
+    normalization as catalog.load, so batch and streaming see the
+    identical TimestampType column whatever the fixture encoding.
 
     At production scale the source would be Kafka with the identical
     downstream pipeline (swap this reader, keep every operator).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    enc = _event_ts_encoding(dir_path)
+    if enc == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _EVENT_COLS.format(ts="ts long")
+    elif enc == "ntz":
+        schema = _EVENT_COLS.format(ts="ts timestamp_ntz")
+    else:
+        schema = _EVENT_COLS.format(ts="ts timestamp")
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(dir_path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if enc == "nanos":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if enc == "ntz":
+        # Session tz is pinned UTC, so the cast preserves the instant.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts(

@@ -93,12 +93,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--json", help="write per-query status to this path")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     spark = get_spark("oracle_check", cpus=8)
     con = duck_connect(args.sf)
     names = args.names or list(REGISTRY)
+    results: dict[str, dict] = {}
     n_fail = 0
     for name in names:
         spec = REGISTRY[name]
@@ -106,15 +108,18 @@ def main() -> int:
             sdf = spec.fn(spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {e}"[:300]}
             n_fail += 1
             continue
         if spec.oracle is None:
             print(f"ROWS {name}: {len(sdf)} rows (no oracle)")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
         try:
             ddf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "err": f"duckdb: {e}"[:300]}
             n_fail += 1
             continue
         problems = compare(name, sdf, ddf)
@@ -123,9 +128,26 @@ def main() -> int:
             print(f"FAIL {name} ({len(sdf)} rows):")
             for p in problems:
                 print(f"   - {p}")
+            results[name] = {"status": "fail", "rows": len(sdf), "problems": problems}
         else:
             print(f"OK   {name}: {len(sdf)} rows")
+            results[name] = {"status": "ok", "rows": len(sdf)}
     print(f"\n{len(names) - n_fail}/{len(names)} passed")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf,
+                    "n_total": len(names),
+                    "n_fail": n_fail,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
