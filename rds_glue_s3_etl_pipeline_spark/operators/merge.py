@@ -43,6 +43,33 @@ def _is_missing(col: Column, dtype: T.DataType) -> Column:
     return col.isNull()
 
 
+def _common_key_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Comparison type for join keys whose sides disagree (SURVEY §7c:
+    the reference's S3 JSON arrives int64 while a JDBC id can surface as
+    decimal or string — a raw equi-join would silently match nothing).
+    Returns None when no cast is needed.
+
+    Numeric-vs-string compares NUMERICALLY (both sides cast to a wide
+    decimal) so ``"007"`` matches ``7``; casting the numeric side to
+    string instead would compare ``"7" != "007"``. Non-numeric strings
+    cast to NULL and simply never match, which is the correct outcome
+    for a malformed id.
+    """
+    if a == b:
+        return None
+    is_num_a = isinstance(a, T.NumericType)
+    is_num_b = isinstance(b, T.NumericType)
+    if is_num_a and is_num_b:
+        if any(isinstance(t, (T.DoubleType, T.FloatType)) for t in (a, b)):
+            return T.DoubleType()
+        if any(isinstance(t, T.DecimalType) for t in (a, b)):
+            return T.DecimalType(38, 18)
+        return T.LongType()
+    if is_num_a or is_num_b:
+        return T.DecimalType(38, 18)
+    return T.StringType()
+
+
 def first_match_only(df: DataFrame, key: str, order_col: str | None = None) -> DataFrame:
     """Keep one row per key — the first in ``order_col`` order.
 
@@ -94,7 +121,13 @@ def precedence_merge(
     fallback_only = [c for c in fb.columns if c not in primary.columns]
 
     p, f_ = primary.alias("p"), fb.alias("f")
-    joined = p.join(f_, F.col(f"p.{key}") == F.col(f"f.{key}"), "left")
+    cmp_t = _common_key_type(p_types[key], f_types[key])
+    pk, fk = F.col(f"p.{key}"), F.col(f"f.{key}")
+    if cmp_t is not None:
+        # try_cast: a malformed id becomes NULL (never matches) instead
+        # of failing the whole job under ANSI mode.
+        pk, fk = pk.try_cast(cmp_t), fk.try_cast(cmp_t)
+    joined = p.join(f_, pk == fk, "left")
 
     out: list[Column] = []
     for c in primary.columns:
@@ -116,9 +149,19 @@ def unmatched_audit(fallback: DataFrame, primary: DataFrame, key: str = "id") ->
     """Fallback rows with no primary match (``gule_test_job.py:166``).
 
     The reference builds a driver-side python set of ids (``:121``) and
-    boolean-masks against it; at scale that is a left anti join.
+    boolean-masks against it; at scale that is a left anti join. Key
+    types are coerced like precedence_merge so a type-mismatched id
+    column doesn't report every fallback row as unmatched.
     """
-    return fallback.join(primary.select(key), key, "left_anti")
+    cmp_t = _common_key_type(
+        fallback.schema[key].dataType, primary.schema[key].dataType
+    )
+    if cmp_t is None:
+        return fallback.join(primary.select(key), key, "left_anti")
+    keys = primary.select(F.col(key).try_cast(cmp_t).alias("__k"))
+    return fallback.join(
+        keys, fallback[key].try_cast(cmp_t) == keys["__k"], "left_anti"
+    )
 
 
 def audit_summary(audit_df: DataFrame, key: str = "id", show: int = 10) -> dict:

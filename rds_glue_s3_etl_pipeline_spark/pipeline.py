@@ -14,6 +14,7 @@ driver except the ≤10-row audit sample and the final row count.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -34,20 +35,44 @@ class PipelineResult:
     audit: dict
 
 
+Source = DataFrame | Callable[[], DataFrame]
+
+
 def run_merge_pipeline(
-    primary: DataFrame,
-    fallback: DataFrame,
+    primary: Source,
+    fallback: Source,
     output_path: str,
     key: str = "id",
     notifier: Notifier | None = None,
     fallback_order_col: str | None = None,
 ) -> PipelineResult:
-    """Run the full reference dataflow on two already-loaded inputs.
+    """Run the full reference dataflow end-to-end.
 
-    Inputs come from any source (S1 JSON / S2 JDBC / S6 parquet —
-    see sources.readers); the reference hard-wired S3+RDS.
+    Each input is either an already-loaded DataFrame or a zero-arg
+    loader callable (any of sources.readers — S1 JSON / S2 JDBC / S6
+    parquet; the reference hard-wired S3+RDS). Passing loaders puts the
+    EXTRACT step inside the pipeline's error channel: a read failure
+    notifies and aborts, mirroring the reference's per-source
+    try/except → Slack → exit (``gule_test_job.py:74-78, 99-103``).
     """
     notifier = notifier or NullNotifier()
+
+    # Stage 0: extract (gule_test_job.py:54-103) — hard failure with
+    # notification when a loader can't produce its DataFrame. Note a
+    # Spark read is lazy; a bad path typically fails at schema
+    # resolution here, but a deeper failure still aborts in stage 4.
+    loaded: dict[str, DataFrame] = {}
+    for side, src in (("primary", primary), ("fallback", fallback)):
+        if callable(src):
+            try:
+                loaded[side] = src()
+            except Exception as e:  # noqa: BLE001
+                msg = f"ERROR: failed to read {side} input: {e}"
+                notifier.notify(msg)
+                raise PipelineError(msg) from e
+        else:
+            loaded[side] = src
+    primary, fallback = loaded["primary"], loaded["fallback"]
 
     # Stage 1: validation (gule_test_job.py:107-111) — hard failure.
     for side, df in (("primary", primary), ("fallback", fallback)):

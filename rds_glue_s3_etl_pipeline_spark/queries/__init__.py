@@ -1,4 +1,10 @@
-"""Import every query module so REGISTRY is fully populated."""
+"""Import every query module so REGISTRY is fully populated.
+
+Numbering note: ids run q01-q122 with q62 absent — the id was skipped
+when q58-q66 were authored as a batch and was never assigned; 121
+queries total. Coverage accounting should count registry entries, not
+the max id.
+"""
 
 from .registry import REGISTRY, QuerySpec, query  # noqa: F401
 from . import relational  # noqa: F401

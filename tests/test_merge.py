@@ -113,3 +113,32 @@ def test_merge_column_missing_both_sides_null(spark):
     rds = spark.createDataFrame([(1, None)], "id long, x string")
     out = precedence_merge(s3, rds).collect()[0]
     assert out["x"] is None
+
+
+def test_merge_key_type_coercion_int_vs_string(spark):
+    """SURVEY §7c: S3 JSON int64 ids must match JDBC string ids, even
+    zero-padded ones ("007" == 7 numerically)."""
+    s3 = spark.createDataFrame([(7, "grace"), (8, "heidi")], "id long, name string")
+    rds = spark.createDataFrame(
+        [("007", 70), ("8", 80), ("oops", 99)], "id string, bonus int"
+    )
+    out = {r["id"]: r for r in precedence_merge(s3, rds).collect()}
+    assert out[7]["bonus"] == 70
+    assert out[8]["bonus"] == 80
+    # output key keeps the primary side's type
+    assert precedence_merge(s3, rds).schema["id"].dataType.typeName() == "long"
+
+
+def test_merge_key_type_coercion_int_vs_decimal(spark):
+    from decimal import Decimal
+
+    s3 = spark.createDataFrame([(5, "eve")], "id long, name string")
+    rds = spark.createDataFrame([(Decimal(5), 50)], "id decimal(10,0), bonus int")
+    assert precedence_merge(s3, rds).collect()[0]["bonus"] == 50
+
+
+def test_audit_key_type_coercion(spark):
+    s3 = spark.createDataFrame([(1, "a")], "id long, name string")
+    rds = spark.createDataFrame([("1", 10), ("2", 20)], "id string, bonus int")
+    audit = unmatched_audit(rds, s3)
+    assert {r["id"] for r in audit.collect()} == {"2"}

@@ -172,3 +172,31 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (boundary key may touch)
     assert spark.read.parquet(dst2).count() == 20000
+
+
+def test_pipeline_loader_failure_notifies(spark, tmp_path):
+    """Extract is inside the error channel (gule_test_job.py:74-78):
+    a loader that can't read its source notifies and aborts."""
+
+    def bad_loader():
+        return read_json_records(
+            spark, str(tmp_path / "nope" / "missing.json")
+        )
+
+    good = spark.createDataFrame([(1, "a")], "id long, v string")
+    notifier = CollectingNotifier()
+    with pytest.raises(PipelineError):
+        run_merge_pipeline(bad_loader, good, str(tmp_path / "x.csv"), notifier=notifier)
+    assert notifier.messages and notifier.messages[0].startswith(
+        "ERROR: failed to read primary input"
+    )
+
+
+def test_pipeline_loader_success_path(spark, tmp_path):
+    feed = tmp_path / "feed2.json"
+    feed.write_text('[{"id": 1, "name": "alice"}]')
+    loader = lambda: read_json_records(spark, str(feed), schema="id long, name string")
+    fallback = spark.createDataFrame([(1, "a", 10)], "id long, name string, bonus int")
+    notifier = CollectingNotifier()
+    out = run_merge_pipeline(loader, fallback, str(tmp_path / "o.csv"), notifier=notifier)
+    assert out.merged_rows == 1
