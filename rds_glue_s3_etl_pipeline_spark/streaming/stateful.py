@@ -67,3 +67,61 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_totals_with_eviction(
+    events: DataFrame, watermark: str = "2 hours", idle_timeout_min: int = 60
+) -> DataFrame:
+    """The bounded-state sibling of ``user_running_totals``: per-user
+    running totals with EVENT-TIME idle eviction — a user quiet for
+    ``idle_timeout_min`` past the watermark is closed out with a final
+    ``closed=true`` punctuation row and their state dropped.
+
+    This pairing (update rows AND a distinct end-of-life row from one
+    operator) is exactly what the built-in windows can't express.
+    Unlike ``user_running_totals`` its state is bounded: only users
+    active within the timeout horizon occupy the store, so the stream
+    can run forever over an unbounded user population.
+    """
+    out_schema = "user_id long, n_events long, total_value double, closed boolean"
+    state_schema = "n long, total double"
+    idle_ms = idle_timeout_min * 60_000
+
+    def update(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n],
+                 "total_value": [total], "closed": [True]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts_ms = 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            batch_max = pdf["ts"].max()
+            if pd.notna(batch_max):
+                last_ts_ms = max(last_ts_ms, int(batch_max.value // 1_000_000))
+        state.update((n, total))
+        state.setTimeoutTimestamp(last_ts_ms + idle_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n],
+             "total_value": [total], "closed": [False]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

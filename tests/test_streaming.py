@@ -285,3 +285,67 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert any("10:0" in s for s in emitted_starts)
     # ...but the 08:00 straggler's window was dropped, never emitted.
     assert not any("08:0" in s for s in emitted_starts)
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """T8: applyInPandasWithState keeps per-user totals across
+    micro-batches and closes out idle users via event-time timeout."""
+    import pandas as pd
+
+    from rds_glue_s3_etl_pipeline_spark.streaming.stateful import (
+        user_totals_with_eviction,
+    )
+
+    d = tmp_path / "t8_in"
+    d.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def drop(name, rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("int64")
+        pdf.to_parquet(d / name)
+
+    drop(
+        "b1.parquet",
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 10:01:00", 1, "view", 2.0, "{}"),
+            (3, "2024-01-01 10:00:00", 2, "view", 5.0, "{}"),
+        ],
+    )
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    out = user_totals_with_eviction(stream, watermark="10 minutes", idle_timeout_min=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t8")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_t8"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 2: user 1 again (totals must ACCUMULATE) plus a
+        # far-future event that advances the watermark past user 2's
+        # 60-min idle timeout -> closed row for user 2.
+        drop(
+            "b2.parquet",
+            [
+                (4, "2024-01-01 10:05:00", 1, "view", 10.0, "{}"),
+                (5, "2024-01-01 15:00:00", 3, "view", 0.5, "{}"),
+            ],
+        )
+        q.processAllAvailable()
+        # One more batch so the timeout fires after the watermark moved.
+        drop("b3.parquet", [(6, "2024-01-01 15:30:00", 3, "view", 0.5, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("t8").collect()
+    open_rows = {(r["user_id"], r["n_events"]): r for r in rows if not r["closed"]}
+    # user 1: batch1 emitted (2, 3.0), batch2 emitted the accumulated (3, 13.0)
+    assert (1, 2) in open_rows and open_rows[(1, 2)]["total_value"] == 3.0
+    assert (1, 3) in open_rows and open_rows[(1, 3)]["total_value"] == 13.0
+    closed = [r for r in rows if r["closed"]]
+    assert any(r["user_id"] == 2 and r["n_events"] == 1 and r["total_value"] == 5.0
+               for r in closed)
