@@ -83,3 +83,48 @@ def compact_parquet(
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(dst_dir)
     return len(glob.glob(os.path.join(dst_dir, "part-*.parquet")))
+
+
+def write_token_balanced_shards(
+    df: DataFrame,
+    path: str,
+    weight_col: str,
+    order_cols,
+    target_weight_per_shard: int,
+) -> int:
+    """Write training-export shards of ≈equal total ``weight_col``
+    (token count, char count, ...) in ``order_cols`` order; returns the
+    shard count. Documents are never split; a shard overshoots its
+    target by at most one document, and a document heavier than the
+    target gets a shard to itself.
+
+    Training-data exports want this instead of row-count or byte-count
+    splits: downstream loaders budget per-shard TOKENS, and naive
+    row-balanced shards skew 10x when document lengths do.
+
+    Scale: shard assignment is floor(exclusive-prefix-weight / target),
+    computed by the two-pass prefix machinery (operators/prefix.py) —
+    one range shuffle plus a kilobyte-sized offsets job, never a
+    single-partition window. The write repartitions on shard id so each
+    output directory is one task's file.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.prefix import global_running_sum
+
+    cum = global_running_sum(df, order_cols, value=weight_col, out_col="__cum")
+    sharded = cum.withColumn(
+        "shard",
+        F.floor(
+            (F.col("__cum") - F.col(weight_col))
+            / F.lit(float(target_weight_per_shard))
+        ).cast("long"),
+    ).drop("__cum")
+    n_shards = sharded.agg(F.max("shard")).collect()[0][0] + 1
+    (
+        sharded.repartition(int(n_shards), "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return int(n_shards)

@@ -84,3 +84,33 @@ def test_bucketed_groupby_has_no_shuffle(spark, bucketed_tables):
         read_table(spark, ot).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
     )
     assert "Exchange" not in plan
+
+
+def test_token_balanced_shards(spark, tmp_path):
+    """Shards carry ~target total weight, never split a doc, and cover
+    every doc exactly once."""
+    from rds_glue_s3_etl_pipeline_spark.catalog import load
+    from rds_glue_s3_etl_pipeline_spark.sources.sinks import (
+        write_token_balanced_shards,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    target = 10_000
+    out = str(tmp_path / "shards")
+    n = write_token_balanced_shards(
+        docs, out, weight_col="n_chars", order_cols=["doc_id"], target_weight_per_shard=target
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    import pyspark.sql.functions as F
+
+    stats = back.groupBy("shard").agg(F.sum("n_chars").alias("w")).collect()
+    assert len(stats) == n
+    max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+    for r in stats:
+        # every shard except possibly the last is >= target - max_doc
+        # and <= target + max_doc (one-doc overshoot bound)
+        assert r["w"] <= target + max_doc
+    full = [r["w"] for r in sorted(stats, key=lambda r: r["shard"])][:-1]
+    assert all(w >= target - max_doc for w in full)
