@@ -26,12 +26,21 @@ def minhash_signatures(
     hash functions; min-aggregation is map-side combinable so shuffle
     volume is #docs × k longs regardless of corpus size.
     """
-    sh = X.exploded_word_shingles(docs, text_col, id_col, shingle_n).distinct()
+    sh = X.exploded_word_shingles(docs, text_col, id_col, shingle_n)
+    # Pre-hash each shingle string to ONE long, then derive the k
+    # permutations by re-hashing that long with the permutation index
+    # as seed. Two wins over seeding the string hash k times: the
+    # distinct() shuffle carries 8-byte longs instead of ~n-word
+    # strings, and the k-1 extra hashes run over fixed 8-byte input.
+    # (64-bit pre-hash collisions are negligible at any corpus size
+    # that fits num_perm-bit signatures anyway. ANSI mode forbids the
+    # classic overflow-wrapping a*h+b universal mix, so re-hash it is.)
+    hashed = sh.select(id_col, F.xxhash64("sh").alias("h")).distinct()
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
