@@ -52,6 +52,9 @@ HEADLINE = [
     "q111_bloom_pruned_join",
     "q113_dup_clusters_bigstar",
     "q115_chunk_dedup",
+    "q123_ohlc_bars",
+    "q124_dedup_keep_best",
+    "q125_conversion_pattern",
 ]
 
 

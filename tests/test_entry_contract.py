@@ -45,3 +45,30 @@ def test_oracle_parity_sample(spark, sf_dir, name):
     a = sdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
     b = ddf[cols].astype(str).sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_timestamp_queries_under_vanilla_session():
+    """Driver simulation: the harness builds its OWN SparkSession with
+    no engine configs. Timestamp-dependent queries must self-provision
+    every conf they need (catalog.load sets nanosAsLong/UTC/ICU at
+    runtime) — this catches configs that only session.get_spark sets.
+    Runs in a subprocess so the suite's shared session is untouched."""
+    import subprocess
+    import sys
+
+    script = (
+        "import sys; sys.path.insert(0, '.')\n"
+        "from pyspark.sql import SparkSession\n"
+        "from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY\n"
+        "spark = (SparkSession.builder.master('local[4]')\n"
+        "         .appName('vanilla-driver-sim').getOrCreate())\n"
+        "for name in ('q15_asof_join', 'q11_lag_lead', 'q123_ohlc_bars'):\n"
+        "    df = REGISTRY[name].fn(spark, '/root/testdata/sf0.001')\n"
+        "    assert len(df.take(5)) > 0, name\n"
+        "print('VANILLA_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        cwd="/root/repo", timeout=240,
+    )
+    assert "VANILLA_OK" in out.stdout, out.stderr[-2000:]
