@@ -342,3 +342,106 @@ def q84_length_band_filter(spark, sf_dir):
         .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# q126: incremental dedup — incoming docs vs a historical corpus.
+# --------------------------------------------------------------------------
+
+from .text import _JACCARD_THRESHOLD, _SHINGLE_N  # noqa: E402
+
+_Q126_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS sh
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, GREATEST(array_length(t) - {_SHINGLE_N - 1}, 0))) AS i
+          FROM toks)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS new_doc_id, b.doc_id AS hist_doc_id, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT i.new_doc_id, i.hist_doc_id,
+         CAST(i.n_common AS BIGINT) AS n_common,
+         i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.new_doc_id
+  JOIN sizes sb ON sb.doc_id = i.hist_doc_id
+  WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {_JACCARD_THRESHOLD}
+)
+SELECT new_doc_id, hist_doc_id AS best_hist_doc_id, n_common, jaccard
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY new_doc_id ORDER BY jaccard DESC, hist_doc_id) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+@query("q126_incremental_dedup", oracle=_Q126_ORACLE, tags=("text", "dedup", "EXT"))
+def q126_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: match INCOMING documents (deterministic
+    split: doc_id % 5 == 0) against the HISTORICAL corpus only — the
+    shape every batch-append pipeline runs, asymmetric by construction
+    (new << history), unlike the q23/q25 self-joins.
+
+    Scale: shingle-hash equi-join new×history (no new×new or
+    history×history pairs ever form); at 100 TB the history side is the
+    precomputed signature store (MinHash bands, appended per batch) and
+    only incoming docs are shingled fresh. The best-match pick is a
+    per-new-doc window over candidates (small by construction).
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        X.exploded_word_shingles(d, "text", "doc_id", _SHINGLE_N)
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    new_sh = sh.filter(F.col("doc_id") % 5 == 0)
+    hist_sh = sh.filter(F.col("doc_id") % 5 != 0)
+    inter = (
+        new_sh.alias("a")
+        .join(hist_sh.alias("b"), F.col("a.h") == F.col("b.h"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("hist_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed("doc_id", "new_doc_id"), "new_doc_id")
+        .withColumnRenamed("n", "na")
+        .join(sizes.withColumnRenamed("doc_id", "hist_doc_id"), "hist_doc_id")
+        .withColumnRenamed("n", "nb")
+        .select(
+            "new_doc_id",
+            "hist_doc_id",
+            "n_common",
+            (
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("new_doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("hist_doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_doc_id",
+            F.col("hist_doc_id").alias("best_hist_doc_id"),
+            "n_common",
+            "jaccard",
+        )
+    )
