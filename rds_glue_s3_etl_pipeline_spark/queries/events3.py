@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators.graph import connected_components
+from ..operators.graph import connected_components_star
 from .registry import O_DSUM, dsum, query
 
 # --------------------------------------------------------------------------
@@ -143,8 +143,9 @@ def q124_dedup_keep_best(spark, sf_dir):
     the lowest doc_id), singletons keep themselves. This is the query a
     training-data pipeline actually materializes — the survivor list.
 
-    Scale: edges are LSH-scale (linear in true dups), components are
-    the O(log²n) star-contraction family, and the survivor pick is a
+    Scale: edges are LSH-scale (linear in true dups), components use
+    large/small-star contraction (O(log²n) rounds, diameter-
+    independent — see operators/graph.py), and the survivor pick is a
     per-cluster window over clusters that are by construction small.
     The docs←cluster-map join broadcasts when the dup set is small
     relative to the corpus (the common case), else hashes on doc_id.
@@ -153,7 +154,7 @@ def q124_dedup_keep_best(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     edges = q23_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cl = connected_components(edges, src="doc_a", dst="doc_b").select(
+    cl = connected_components_star(edges, src="doc_a", dst="doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
     assigned = docs.join(cl, "doc_id", "left").select(
