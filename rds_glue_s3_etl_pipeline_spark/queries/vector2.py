@@ -219,3 +219,92 @@ def q108_dup_clusters_staged(spark, sf_dir):
     return connected_components(edges, src="doc_a", dst="doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+
+
+# --------------------------------------------------------------------------
+# q127: embedding dedup decision — near-dup clusters -> kept vector.
+# --------------------------------------------------------------------------
+
+from ..operators.graph import connected_components_star  # noqa: E402
+from .vector import _Q34_ORACLE  # noqa: E402
+
+_Q127_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a, vec_b FROM ({_Q34_ORACLE})
+),
+sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cl AS (
+  SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+),
+assigned AS (
+  SELECT e.vec_id, COALESCE(cl.cluster_id, e.vec_id) AS cluster_id,
+         ROUND(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                            x -> x * x))), 4) AS nrm
+  FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY nrm DESC, vec_id) AS rn
+  FROM assigned
+)
+SELECT r.cluster_id, r.vec_id AS kept_vec_id, r.nrm AS kept_norm, m.n_members
+FROM ranked r
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM assigned GROUP BY cluster_id) m USING (cluster_id)
+WHERE r.rn = 1
+"""
+
+
+@query("q127_embedding_dedup_keep_best", oracle=_Q127_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
+def q127_embedding_dedup_keep_best(spark, sf_dir):
+    """The dedup DECISION stage over the vector modality (q124's twin
+    for embeddings): cosine near-dup pairs (label-blocked, q34) → star-
+    contraction clusters → keep the highest-L2-norm vector per cluster
+    (norm rounded to 4dp on both engines; vec_id tie-break), singletons
+    keep themselves.
+
+    Scale: pairs are blocked (never all-pairs), contraction rounds are
+    diameter-independent, the norm is a JVM aggregate fold (no UDF),
+    and the survivor pick windows over by-construction-small clusters.
+    """
+    from .vector import q34_cosine_near_dup
+
+    e = load(spark, sf_dir, "embeddings")
+    edges = q34_cosine_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    cl = connected_components_star(edges, src="vec_a", dst="vec_b").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    assigned = (
+        e.select("vec_id", F.round(V.norm(F.col("embedding")), 4).alias("nrm"))
+        .join(cl, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            "nrm",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("nrm").desc(), F.col("vec_id").asc()
+    )
+    kept = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("kept_vec_id"),
+            F.col("nrm").alias("kept_norm"),
+        )
+    )
+    members = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return kept.join(members, "cluster_id")
