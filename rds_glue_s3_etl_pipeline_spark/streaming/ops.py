@@ -182,6 +182,38 @@ def attribution_join(
     )
 
 
+def idempotent_parquet_sink(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str, query_name: str = "files"
+):
+    """T6 file-sink variant with exactly-once file output: each
+    micro-batch writes under an ``__epoch=<id>`` partition with DYNAMIC
+    partition overwrite, so a replayed epoch (restart between write and
+    checkpoint commit) rewrites exactly its own partition instead of
+    appending duplicates. This is the standard idempotent-foreachBatch
+    pattern for file targets that lack transactions.
+
+    Readers use ``spark.read.parquet(out_dir)`` and simply drop
+    ``__epoch``; compaction (sources/sinks.py:compact_parquet) folds
+    the per-epoch directories once they stop being rewritable.
+    """
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+
+
 def notify_each_batch(
     stream: DataFrame,
     notify: Callable[[str], None],
