@@ -91,3 +91,10 @@ def jdbc_reader(
             .option("numPartitions", num_partitions)
         )
     return reader
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning properties as
+    parquet via Spark's native reader; here for lake interop (the
+    format a Hive-era warehouse hands you)."""
+    return spark.read.orc(path)

@@ -128,3 +128,15 @@ def write_token_balanced_shards(
         .parquet(path)
     )
     return int(n_shards)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> str:
+    """ORC sink (native writer, zlib default) — parity surface with
+    write_parquet for warehouses standardized on ORC."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+    return path

