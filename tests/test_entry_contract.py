@@ -11,7 +11,14 @@ import __spark_entry__ as entry_mod
 from rds_glue_s3_etl_pipeline_spark.catalog import TABLES
 from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY
 
-SAMPLE = ["q01_pricing_summary", "q03_precedence_merge", "q17_tumbling_window", "q24_cosine_topk"]
+SAMPLE = [
+    "q01_pricing_summary",
+    "q03_precedence_merge",
+    "q17_tumbling_window",
+    "q24_cosine_topk",
+    "q123_ohlc_bars",
+    "q126_incremental_dedup",
+]
 
 
 def test_entry_smoke(spark):
@@ -72,3 +79,21 @@ def test_timestamp_queries_under_vanilla_session():
         cwd="/root/repo", timeout=240,
     )
     assert "VANILLA_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_sql_surface_matches_dataframe_api(spark):
+    """register_views + spark.sql must agree with the DataFrame-API
+    query on the same tables (the engine's SQL entry point)."""
+    from rds_glue_s3_etl_pipeline_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    got = spark.sql(
+        "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP'1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ).collect()
+    df = REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    want = {(r["l_returnflag"], r["l_linestatus"]): r["sum_qty"] for r in df.collect()}
+    assert len(got) == len(want)
+    for r in got:
+        assert abs(r["sum_qty"] - want[(r["l_returnflag"], r["l_linestatus"])]) < 1e-6
