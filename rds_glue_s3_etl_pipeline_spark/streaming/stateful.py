@@ -14,6 +14,14 @@ tasks — per-key state is O(1) here (three numbers), so 10^9 users is
 ~tens of GB spread over the cluster, and the per-batch work is
 Arrow-batched pandas on only the keys present in that batch. On a real
 cluster back it with the RocksDB state store + changelog checkpointing.
+
+API note: Spark 4's successor API (``transformWithStateInPandas`` —
+timers, multiple state variables, TTL) was evaluated and is
+unavailable in this environment: its driver-side runner needs the
+``google.protobuf`` python package, which is broken here (probed:
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError). The
+operators below use ``applyInPandasWithState``, which covers the same
+semantics for these shapes and runs everywhere.
 """
 
 from __future__ import annotations
