@@ -107,26 +107,40 @@ def precedence_merge(
     if key not in primary.columns or key not in fallback.columns:
         raise ValueError(f"merge key {key!r} must exist on both sides")
 
+    p_types = {f.name: f.dataType for f in primary.schema.fields}
+    cmp_t = _common_key_type(
+        p_types[key], fallback.schema[key].dataType
+    )
+
     fb = fallback
+    dedup_key = key
+    if cmp_t is not None:
+        # Coerce BEFORE dedup so dedup and join share one key domain:
+        # fallback keys distinct raw but equal coerced (e.g. "007" and
+        # "7" vs a long primary id) must collapse to one row, or the
+        # one-row-per-primary invariant (gule_test_job.py:124-156)
+        # breaks. try_cast: a malformed id becomes NULL (never matches)
+        # instead of failing the whole job under ANSI mode.
+        fb = fb.withColumn("__k", F.col(key).try_cast(cmp_t))
+        dedup_key = "__k"
     if dedupe_fallback:
-        fb = first_match_only(fb, key, fallback_order_col)
+        fb = first_match_only(fb, dedup_key, fallback_order_col)
     if fallback_order_col and fallback_order_col not in primary.columns:
         fb = fb.drop(fallback_order_col)
     if broadcast_fallback:
         fb = F.broadcast(fb)
 
-    p_types = {f.name: f.dataType for f in primary.schema.fields}
     f_types = {f.name: f.dataType for f in fb.schema.fields}
     shared = [c for c in primary.columns if c in f_types and c != key]
-    fallback_only = [c for c in fb.columns if c not in primary.columns]
+    fallback_only = [
+        c for c in fb.columns if c not in primary.columns and c != "__k"
+    ]
 
     p, f_ = primary.alias("p"), fb.alias("f")
-    cmp_t = _common_key_type(p_types[key], f_types[key])
-    pk, fk = F.col(f"p.{key}"), F.col(f"f.{key}")
     if cmp_t is not None:
-        # try_cast: a malformed id becomes NULL (never matches) instead
-        # of failing the whole job under ANSI mode.
-        pk, fk = pk.try_cast(cmp_t), fk.try_cast(cmp_t)
+        pk, fk = F.col(f"p.{key}").try_cast(cmp_t), F.col("f.__k")
+    else:
+        pk, fk = F.col(f"p.{key}"), F.col(f"f.{key}")
     joined = p.join(f_, pk == fk, "left")
 
     out: list[Column] = []

@@ -137,6 +137,22 @@ def test_merge_key_type_coercion_int_vs_decimal(spark):
     assert precedence_merge(s3, rds).collect()[0]["bonus"] == 50
 
 
+def test_merge_coerced_dup_fallback_keys_keep_one_row(spark):
+    """Fallback keys distinct RAW but equal COERCED ("007" vs "7"
+    against a long primary id) must collapse to ONE fallback row before
+    the join, preserving exactly-one-output-row-per-primary-row
+    (gule_test_job.py:124-156, rds_match.iloc[0] at :131-132)."""
+    s3 = spark.createDataFrame([(7, "grace")], "id long, name string")
+    rds = spark.createDataFrame(
+        [("007", 70, 1), ("7", 77, 2)], "id string, bonus int, src_order int"
+    )
+    rows = precedence_merge(s3, rds, fallback_order_col="src_order").collect()
+    assert len(rows) == 1
+    assert rows[0]["bonus"] == 70  # first in src_order wins, iloc[0] parity
+    # no internal coercion column leaks into the output schema
+    assert "__k" not in precedence_merge(s3, rds, fallback_order_col="src_order").columns
+
+
 def test_audit_key_type_coercion(spark):
     s3 = spark.createDataFrame([(1, "a")], "id long, name string")
     rds = spark.createDataFrame([("1", 10), ("2", 20)], "id string, bonus int")
