@@ -14,6 +14,41 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import text as X
 
 
+# Shingles with document frequency above this carry ~no Jaccard signal
+# (boilerplate phrases: headers, licenses, nav text) but fan out
+# quadratically in df when self-joined — a df-k shingle alone creates
+# k·(k-1)/2 candidate rows. Standard web-scale practice drops them
+# before any shingle equi-join. 64 is far above organic 5-gram df in
+# the fixtures (measured max 4 at sf0.1; tests/test_operators.py
+# asserts the margin) so test-scale results are bit-identical.
+MAX_SHINGLE_DF = 64
+
+
+def df_capped_shingles(
+    sh: DataFrame,
+    hash_col: str = "h",
+    min_df: int = 2,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Keep only shingle hashes whose document frequency lies in
+    [min_df, max_df] (left-semi against the df aggregate).
+
+    min_df=2 is lossless for pair joins — a df-1 shingle can never
+    produce a pair. max_df bounds hot-key fanout: the worst shingle
+    contributes at most max_df² join rows instead of df². The df
+    aggregate is map-side combinable (shuffle volume = #distinct
+    hashes) and the semi-join reuses the hash partitioning the pair
+    join needs anyway.
+    """
+    df_ok = (
+        sh.groupBy(hash_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= min_df) & (F.col("__df") <= max_df))
+        .select(hash_col)
+    )
+    return sh.join(df_ok, hash_col, "left_semi")
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -143,21 +143,26 @@ def q124_dedup_keep_best(spark, sf_dir):
     the lowest doc_id), singletons keep themselves. This is the query a
     training-data pipeline actually materializes — the survivor list.
 
-    Scale: edges are LSH-scale (linear in true dups), components use
-    large/small-star contraction (O(log²n) rounds, diameter-
-    independent — see operators/graph.py), and the survivor pick is a
-    per-cluster window over clusters that are by construction small.
-    The docs←cluster-map join broadcasts when the dup set is small
-    relative to the corpus (the common case), else hashes on doc_id.
+    Scale: edges come from the staged LSH path (text.py
+    staged_near_dup_edges: MinHash → banding → exact verify on
+    candidates only — linear in true dups, not in shared-shingle
+    pairs; q108 proves it oracle-identical to the all-pairs join),
+    components use large/small-star contraction (O(log²n) rounds,
+    diameter-independent — see operators/graph.py), and the survivor
+    pick is a per-cluster window over clusters that are by
+    construction small. The cluster map (only docs that HAVE a dup)
+    is explicitly broadcast into the docs join — it is smaller than
+    the corpus by the dup rate; if a corpus were majority-duplicate,
+    drop the hint and let AQE hash on doc_id.
     """
-    from .text import q23_ngram_jaccard_pairs
+    from .text import staged_near_dup_edges
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    edges = q23_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = staged_near_dup_edges(spark, sf_dir)
     cl = connected_components_star(edges, src="doc_a", dst="doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
-    assigned = docs.join(cl, "doc_id", "left").select(
+    assigned = docs.join(F.broadcast(cl), "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         "n_chars",

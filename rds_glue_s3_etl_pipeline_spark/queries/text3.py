@@ -394,11 +394,19 @@ def q126_incremental_dedup(spark, sf_dir):
     (new << history), unlike the q23/q25 self-joins.
 
     Scale: shingle-hash equi-join new×history (no new×new or
-    history×history pairs ever form); at 100 TB the history side is the
-    precomputed signature store (MinHash bands, appended per batch) and
-    only incoming docs are shingled fresh. The best-match pick is a
-    per-new-doc window over candidates (small by construction).
+    history×history pairs ever form), with a document-frequency cap
+    (operators/dedup.py MAX_SHINGLE_DF) on the join input — a
+    boilerplate shingle present in k_new×k_hist docs would otherwise
+    fan out quadratically in its df; df-capped it is dropped before
+    the join (lossless at fixture scale, measured max df 4). Sizes
+    are computed pre-cap so Jaccard denominators stay exact. At
+    100 TB the history side is the precomputed signature store
+    (MinHash bands, appended per batch) and only incoming docs are
+    shingled fresh. The best-match pick is a per-new-doc window over
+    candidates (small by construction).
     """
+    from ..operators.dedup import df_capped_shingles
+
     d = load(spark, sf_dir, "documents")
     sh = (
         X.exploded_word_shingles(d, "text", "doc_id", _SHINGLE_N)
@@ -406,8 +414,11 @@ def q126_incremental_dedup(spark, sf_dir):
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    new_sh = sh.filter(F.col("doc_id") % 5 == 0)
-    hist_sh = sh.filter(F.col("doc_id") % 5 != 0)
+    # min_df=2 is lossless here too: a global-df-1 shingle exists on
+    # only one side of the new/history split, so it can never match.
+    sh_j = df_capped_shingles(sh)
+    new_sh = sh_j.filter(F.col("doc_id") % 5 == 0)
+    hist_sh = sh_j.filter(F.col("doc_id") % 5 != 0)
     inter = (
         new_sh.alias("a")
         .join(hist_sh.alias("b"), F.col("a.h") == F.col("b.h"))

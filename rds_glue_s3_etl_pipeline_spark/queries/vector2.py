@@ -180,42 +180,11 @@ def q108_dup_clusters_staged(spark, sf_dir):
     false candidate dies in the exact-verify join — so the output
     matches q60's all-pairs computation bit for bit while the
     pairwise stage scales with #candidates instead of #shared-shingle
-    pairs."""
-    from ..functions import text as X
-    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
-    from .text import _JACCARD_THRESHOLD, _SHINGLE_N
+    pairs. Edge generation lives in queries.text.staged_near_dup_edges
+    (shared with q124's survivor pick)."""
+    from .text import staged_near_dup_edges
 
-    d = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, num_perm=32, shingle_n=_SHINGLE_N)
-    cand = lsh_candidate_pairs(sig, num_perm=32, bands=32)
-
-    sh = (
-        X.exploded_word_shingles(d, "text", "doc_id", _SHINGLE_N)
-        .select("doc_id", F.xxhash64("sh").alias("h"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    shb = sh.select(F.col("doc_id").alias("__b"), F.col("h").alias("hb"))
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(
-            shb,
-            (F.col("doc_b") == F.col("__b")) & (F.col("h") == F.col("hb")),
-            "inner",
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jacc = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    edges = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jacc >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+    edges = staged_near_dup_edges(spark, sf_dir)
     return connected_components(edges, src="doc_a", dst="doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )

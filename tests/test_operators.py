@@ -317,3 +317,51 @@ def test_zorder_locality_beats_single_column_sort(spark):
     assert z_spread <= 15
     assert a_spread >= 60
     assert z_spread * 4 < a_spread
+
+
+def test_df_capped_shingles_drops_hot_shingle(spark):
+    """A boilerplate shingle hash present in >MAX_SHINGLE_DF docs is
+    dropped before any pair join (its fanout would be df²); organic
+    shingles in [2, cap] survive; df-1 shingles are pruned (lossless —
+    they can never form a pair)."""
+    from rds_glue_s3_etl_pipeline_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        df_capped_shingles,
+    )
+
+    hot = [(i, 111) for i in range(MAX_SHINGLE_DF + 6)]   # df = cap+6
+    organic = [(1, 222), (2, 222), (3, 333), (4, 333)]    # df = 2
+    lonely = [(9, 444)]                                   # df = 1
+    sh = spark.createDataFrame(hot + organic + lonely, "doc_id long, h long")
+
+    kept = df_capped_shingles(sh)
+    assert {r["h"] for r in kept.select("h").distinct().collect()} == {222, 333}
+    # candidate pairs from the capped input are bounded by the organic
+    # shingles only — the hot shingle's (cap+6 choose 2) pairs are gone
+    a, b = kept.alias("a"), kept.alias("b")
+    n_pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).count()
+    assert n_pairs == 2
+
+
+def test_fixture_shingle_df_below_cap(spark, sf_dir):
+    """MAX_SHINGLE_DF must sit ABOVE the fixture's organic max df so
+    the cap is provably lossless at test scale (oracle rows unchanged).
+    Measured max df: 3 at sf0.01, 4 at sf0.1."""
+    from rds_glue_s3_etl_pipeline_spark.catalog import load
+    from rds_glue_s3_etl_pipeline_spark.functions import text as X
+    from rds_glue_s3_etl_pipeline_spark.operators.dedup import MAX_SHINGLE_DF
+
+    d = load(spark, str(sf_dir), "documents")
+    sh = (
+        X.exploded_word_shingles(d, "text", "doc_id", 5)
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    max_df = sh.groupBy("h").count().agg(F.max("count")).collect()[0][0]
+    assert max_df < MAX_SHINGLE_DF / 4, (
+        f"fixture max shingle df {max_df} is approaching MAX_SHINGLE_DF="
+        f"{MAX_SHINGLE_DF}; raise the cap or the df-capped joins stop "
+        "being lossless at test scale"
+    )
