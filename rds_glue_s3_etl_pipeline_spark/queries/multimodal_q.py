@@ -63,3 +63,61 @@ def q86_multimodal_frames(spark, sf_dir):
 
     media = attach_binary_payload(load(spark, sf_dir, "documents"))
     return sample_frame_table(media, every_n=256, frame_len=16)
+
+
+# --------------------------------------------------------------------------
+# q128/q129: REAL decode of uncompressed formats. The payloads are
+# genuine BMP/WAV files built executor-side from the text bytes, so
+# the DuckDB oracle can recompute every decoded feature from the
+# source table (ASCII fixture: chars == bytes, the q86 contract) —
+# the whole encode → header-parse → pixel/sample-recovery → feature
+# path is hash-verified, not just row-counted.
+# --------------------------------------------------------------------------
+
+_Q128_ORACLE = """
+SELECT d.doc_id,
+       8 AS width, 8 AS height,
+       SUM(ascii(substring(d.text, u.i, 1))) / 192.0 AS mean_px,
+       CAST(MAX(ascii(substring(d.text, u.i, 1))) AS BIGINT) AS max_px
+FROM documents d,
+     UNNEST(generate_series(1, LEAST(length(d.text), 192))) AS u(i)
+GROUP BY d.doc_id
+"""
+
+
+@query("q128_bmp_decode", oracle=_Q128_ORACLE, tags=("multimodal", "EXT"))
+def q128_bmp_decode(spark, sf_dir):
+    """Real image decode: build an 8×8 24-bit BMP per document (pixel
+    bytes = first 192 text bytes, zero-padded), parse the header and
+    bottom-up padded rows back (multimodal/codec.py decode_bmp24), and
+    reduce to per-image features. Zero-pad bytes count toward mean_px
+    (sum unchanged, fixed /192 denominator) and never win max_px —
+    which is how the oracle reproduces them without modeling padding."""
+    from ..multimodal.codec import attach_bmp_payload, decode_bmp_features
+
+    media = attach_bmp_payload(load(spark, sf_dir, "documents"))
+    return decode_bmp_features(media)
+
+
+_Q129_ORACLE = """
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_samples,
+       16000 AS sample_rate,
+       CAST(MAX(ABS((ascii(substring(d.text, u.i, 1)) - 128) * 256)) AS BIGINT) AS peak,
+       SUM((ascii(substring(d.text, u.i, 1)) - 128) * 256) / CAST(length(d.text) AS DOUBLE) AS mean_amp
+FROM documents d,
+     UNNEST(generate_series(1, length(d.text))) AS u(i)
+GROUP BY d.doc_id, length(d.text)
+"""
+
+
+@query("q129_wav_decode", oracle=_Q129_ORACLE, tags=("multimodal", "EXT"))
+def q129_wav_decode(spark, sf_dir):
+    """Real audio decode: build a 16-bit PCM mono WAV per document
+    (sample_i = (byte_i - 128) * 256), walk the RIFF chunks back
+    (multimodal/codec.py decode_wav16), unpack the samples, and reduce
+    to per-clip features (count, rate, peak, mean amplitude)."""
+    from ..multimodal.codec import attach_wav_payload, decode_wav_features
+
+    media = attach_wav_payload(load(spark, sf_dir, "documents"))
+    return decode_wav_features(media)

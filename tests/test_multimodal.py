@@ -47,3 +47,75 @@ def test_feature_schema_stable(spark, sf_dir):
         "doc_id", "media_type", "n_bytes", "content_hash",
         "mean_byte", "max_byte", "histogram_head",
     ]
+
+
+def test_bmp24_roundtrip_handbuilt_4x4():
+    """Hand-built 4×4 BMP: encode writes bottom-up padded rows, decode
+    recovers the exact top-down pixel bytes and dimensions."""
+    from rds_glue_s3_etl_pipeline_spark.multimodal.codec import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    pixels = bytes(range(48))  # 4*4*3, every byte distinct
+    payload = encode_bmp24(4, 4, pixels)
+    # file header: magic + declared pixel offset
+    assert payload[:2] == b"BM" and payload[10] == 54
+    img = decode_bmp24(payload)
+    assert (img["width"], img["height"]) == (4, 4)
+    assert img["pixels"] == pixels
+    # known values: mean of 0..47 and max
+    px = img["pixels"]
+    assert sum(px) / len(px) == 23.5
+    assert max(px) == 47
+
+
+def test_bmp24_rejects_unsupported():
+    from rds_glue_s3_etl_pipeline_spark.multimodal.codec import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    with pytest.raises(ValueError):
+        decode_bmp24(b"PNG not a bmp")
+    # 8bpp header -> explicit NotImplementedError, not garbage pixels
+    bad = bytearray(encode_bmp24(4, 4, bytes(48)))
+    bad[28] = 8  # bpp field
+    with pytest.raises(NotImplementedError):
+        decode_bmp24(bytes(bad))
+
+
+def test_wav16_roundtrip_extremes():
+    from rds_glue_s3_etl_pipeline_spark.multimodal.codec import (
+        decode_wav16,
+        encode_wav16,
+    )
+
+    samples = [-3, 0, 7, 32767, -32768]
+    wav = decode_wav16(encode_wav16(samples, sample_rate=8000))
+    assert wav["sample_rate"] == 8000
+    assert list(wav["samples"]) == samples
+    with pytest.raises(ValueError):
+        decode_wav16(b"OggS compressed audio")
+
+
+def test_bmp_decode_features_end_to_end(spark, sf_dir):
+    """The distributed path: real BMPs built and decoded inside
+    mapInPandas match a driver-side recompute from the text bytes."""
+    from rds_glue_s3_etl_pipeline_spark.catalog import load
+    from rds_glue_s3_etl_pipeline_spark.multimodal.codec import (
+        attach_bmp_payload,
+        decode_bmp_features,
+    )
+
+    docs = load(spark, str(sf_dir), "documents").limit(5)
+    feats = {
+        r["doc_id"]: r
+        for r in decode_bmp_features(attach_bmp_payload(docs)).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        raw = row["text"].encode("utf-8")[:192].ljust(192, b"\x00")
+        got = feats[row["doc_id"]]
+        assert (got["width"], got["height"]) == (8, 8)
+        assert got["mean_px"] == pytest.approx(sum(raw) / 192)
+        assert got["max_px"] == max(raw)
