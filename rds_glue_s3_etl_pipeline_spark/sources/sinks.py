@@ -120,7 +120,14 @@ def write_token_balanced_shards(
             / F.lit(float(target_weight_per_shard))
         ).cast("long"),
     ).drop("__cum")
-    n_shards = sharded.agg(F.max("shard")).collect()[0][0] + 1
+    max_shard = sharded.agg(F.max("shard")).collect()[0][0]
+    if max_shard is None:
+        # Empty input: write a readable schema-only dataset (one empty
+        # file, no partition dirs) and report zero shards instead of
+        # crashing on None + 1.
+        sharded.coalesce(1).write.mode("overwrite").parquet(path)
+        return 0
+    n_shards = max_shard + 1
     (
         sharded.repartition(int(n_shards), "shard")
         .write.mode("overwrite")

@@ -21,24 +21,48 @@ from pyspark.sql import functions as F
 _EVENT_COLS = "event_id long, {ts}, user_id long, event_type string, value double, props string"
 
 
-def _event_ts_encoding(dir_path: str) -> str:
-    """Peek at one parquet footer to learn how ``ts`` is physically
-    encoded — the fixture generator has shipped TIMESTAMP(NANOS) and
+def _ts_encoding_of(t) -> str:
+    # TIMESTAMP(NANOS) and bare INT64 both surface as bigint under
+    # nanosAsLong — the event feed's historical nanos convention.
+    if str(t) == "int64" or getattr(t, "unit", None) == "ns":
+        return "nanos"
+    return "tz" if getattr(t, "tz", None) else "ntz"
+
+
+def _event_ts_encoding(dir_path: str, sample_cap: int = 64) -> str:
+    """Learn how ``ts`` is physically encoded from the parquet footers
+    — the fixture generator has shipped TIMESTAMP(NANOS) and
     TIMESTAMP(MICROS, isAdjustedToUTC=false) in different rounds, and a
     streaming source needs its schema declared before the first batch.
-    Footer-only read on the driver; no data pages touched.
+
+    A stream directory accumulating drops across fixture regenerations
+    could hold MIXED encodings; one declared schema would then read the
+    other files as garbage timestamps. So this checks every footer (up
+    to ``sample_cap``, evenly spaced, always including first and last —
+    drops land in filename order so a regeneration flip lands at an
+    edge) and FAILS LOUDLY on a mix rather than mis-decoding. Footer
+    reads only, on the driver; no data pages touched.
     Returns 'nanos' | 'ntz' | 'tz'."""
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(dir_path, "*.parquet")))
     if not files:
         return "ntz"  # current fixture encoding; harmless default
-    t = pq.read_schema(files[0]).field("ts").type
-    # TIMESTAMP(NANOS) and bare INT64 both surface as bigint under
-    # nanosAsLong — the event feed's historical nanos convention.
-    if str(t) == "int64" or getattr(t, "unit", None) == "ns":
-        return "nanos"
-    return "tz" if getattr(t, "tz", None) else "ntz"
+    if len(files) > sample_cap:
+        step = (len(files) - 1) / (sample_cap - 1)
+        files = [files[round(i * step)] for i in range(sample_cap)]
+    encs = {
+        f: _ts_encoding_of(pq.read_schema(f).field("ts").type) for f in files
+    }
+    distinct = set(encs.values())
+    if len(distinct) > 1:
+        examples = {e: next(f for f, fe in encs.items() if fe == e) for e in distinct}
+        raise ValueError(
+            f"mixed ts encodings in stream directory {dir_path}: {examples}; "
+            "a stream directory must be encoding-uniform — split the drops "
+            "by encoding (or re-encode) before reading"
+        )
+    return distinct.pop()
 
 
 def read_event_stream(
@@ -182,6 +206,20 @@ def attribution_join(
     )
 
 
+def _write_epoch_partition(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """The per-epoch write used by ``idempotent_parquet_sink``'s
+    foreachBatch handler: dynamic partition overwrite scoped to this
+    epoch's ``__epoch`` partition. Module-level so restart/replay tests
+    can invoke the exact production write path directly."""
+    (
+        batch_df.withColumn("__epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(out_dir)
+    )
+
+
 def idempotent_parquet_sink(
     stream: DataFrame, out_dir: str, checkpoint_dir: str, query_name: str = "files"
 ):
@@ -198,13 +236,7 @@ def idempotent_parquet_sink(
     """
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("__epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__epoch")
-            .parquet(out_dir)
-        )
+        _write_epoch_partition(batch_df, epoch_id, out_dir)
 
     return (
         stream.writeStream.outputMode("append")

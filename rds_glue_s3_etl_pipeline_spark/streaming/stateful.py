@@ -92,7 +92,7 @@ def user_totals_with_eviction(
     can run forever over an unbounded user population.
     """
     out_schema = "user_id long, n_events long, total_value double, closed boolean"
-    state_schema = "n long, total double"
+    state_schema = "n long, total double, last_ms long"
     idle_ms = idle_timeout_min * 60_000
 
     def update(
@@ -100,23 +100,35 @@ def user_totals_with_eviction(
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
-            n, total = state.get
+            n, total, _ = state.get
             state.remove()
             yield pd.DataFrame(
                 {"user_id": [user_id], "n_events": [n],
                  "total_value": [total], "closed": [True]}
             )
             return
-        n, total = state.get if state.exists else (0, 0.0)
-        last_ts_ms = 0
+        n, total, last_ts_ms = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
             batch_max = pdf["ts"].max()
             if pd.notna(batch_max):
                 last_ts_ms = max(last_ts_ms, int(batch_max.value // 1_000_000))
-        state.update((n, total))
-        state.setTimeoutTimestamp(last_ts_ms + idle_ms)
+        # The high-water mark lives IN STATE: a batch of all-null ts
+        # must not reset it (last_ts_ms=0 would put the timeout below
+        # the watermark and fail the query), and a late in-watermark
+        # batch of older events must not pull an existing timeout
+        # earlier. The store rejects timeouts at or below the current
+        # watermark, so clamp: an already-expired horizon fires at
+        # wm+1 (evict ASAP); a group with no valid ts seen yet parks
+        # one idle period past the watermark instead of evicting on
+        # garbage.
+        state.update((n, total, last_ts_ms))
+        wm_ms = state.getCurrentWatermarkMs()
+        if last_ts_ms > 0:
+            state.setTimeoutTimestamp(max(last_ts_ms + idle_ms, wm_ms + 1))
+        else:
+            state.setTimeoutTimestamp(wm_ms + idle_ms + 1)
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n],
              "total_value": [total], "closed": [False]}

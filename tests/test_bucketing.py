@@ -114,3 +114,22 @@ def test_token_balanced_shards(spark, tmp_path):
         assert r["w"] <= target + max_doc
     full = [r["w"] for r in sorted(stats, key=lambda r: r["shard"])][:-1]
     assert all(w >= target - max_doc for w in full)
+
+
+def test_token_balanced_shards_empty_input(spark, tmp_path):
+    """ADVICE r05: an empty DataFrame writes a readable schema-only
+    dataset and reports zero shards instead of crashing on None + 1."""
+    from rds_glue_s3_etl_pipeline_spark.sources.sinks import (
+        write_token_balanced_shards,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    out = str(tmp_path / "shards_empty")
+    n = write_token_balanced_shards(
+        empty, out, weight_col="n_tokens", order_cols=["doc_id"],
+        target_weight_per_shard=100,
+    )
+    assert n == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert "doc_id" in back.columns

@@ -367,13 +367,113 @@ def test_idempotent_parquet_sink_replay_safe(spark, events_dir, tmp_path):
     n_events = load(spark, SF, "events").count()
     assert spark.read.parquet(out).count() == n_events
 
-    # Simulate the replay: write batch 0 again through the same handler.
+    # Failure injection: a restart between write and checkpoint commit
+    # replays the epoch through the ACTUAL production write path.
+    from rds_glue_s3_etl_pipeline_spark.streaming.ops import _write_epoch_partition
+
+    def epoch_counts():
+        return {
+            r["__epoch"]: r["cnt"]
+            for r in spark.read.parquet(out)
+            .groupBy("__epoch")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
     batch0 = load(spark, SF, "events")
-    (
-        batch0.withColumn("__epoch", F.lit(0))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__epoch")
-        .parquet(out)
-    )
+    _write_epoch_partition(batch0, 0, out)
     assert spark.read.parquet(out).count() == n_events  # no duplicates
+    before = epoch_counts()
+
+    # Replay the same epoch AGAIN with a different row set (simulating
+    # a source whose re-read shrank the batch): the partition must be
+    # REWRITTEN to the new contents, not appended to — and sibling
+    # epochs must be untouched by the dynamic overwrite.
+    half = batch0.filter(F.col("event_id") % 2 == 0)
+    n_half = half.count()
+    _write_epoch_partition(half, 0, out)
+    after = epoch_counts()
+    assert after[0] == n_half
+    assert {e: c for e, c in after.items() if e != 0} == {
+        e: c for e, c in before.items() if e != 0
+    }
+
+
+def test_eviction_survives_all_null_ts_batch(spark, tmp_path):
+    """ADVICE r05: a group whose batch has only null event times must
+    not derive its timeout from last_ts_ms=0 (epoch+idle sits below the
+    watermark -> the store throws and the query dies). The high-water
+    mark is persisted in state and the timeout is clamped above the
+    current watermark, so the query keeps running."""
+    import pandas as pd
+
+    from rds_glue_s3_etl_pipeline_spark.streaming.stateful import (
+        user_totals_with_eviction,
+    )
+
+    d = tmp_path / "t8n_in"
+    d.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def drop(name, rows, null_ts=False):
+        pdf = pd.DataFrame(rows, columns=cols)
+        if null_ts:
+            pdf["ts"] = pd.array([None] * len(pdf), dtype="Int64")
+        else:
+            pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("int64")
+        pdf.to_parquet(d / name)
+
+    # Batch 1 pushes the watermark far past 1970+idle.
+    drop("b1.parquet", [(1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}")])
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    out = user_totals_with_eviction(stream, watermark="10 minutes", idle_timeout_min=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t8n")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_t8n"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 2: a NEW user with only null timestamps.
+        drop("b2.parquet", [(2, None, 9, "view", 4.0, "{}")], null_ts=True)
+        q.processAllAvailable()
+        # Batch 3 keeps the stream moving after the null batch.
+        drop("b3.parquet", [(3, "2024-01-01 10:20:00", 1, "view", 2.0, "{}")])
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    rows = spark.table("t8n").collect()
+    # the null-ts user's totals were still accumulated and emitted
+    assert any(r["user_id"] == 9 and r["n_events"] == 1 and r["total_value"] == 4.0
+               for r in rows)
+
+
+def test_mixed_ts_encoding_dir_fails_loudly(spark, tmp_path):
+    """ADVICE r05: a stream directory holding drops with DIFFERENT ts
+    encodings (a fixture-regeneration flip mid-directory) must raise a
+    named error, not declare one schema and mis-decode half the files."""
+    import pandas as pd
+    import pytest
+
+    from rds_glue_s3_etl_pipeline_spark.streaming.ops import _event_ts_encoding
+
+    d = tmp_path / "mixed_in"
+    d.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    nanos = pd.DataFrame([(1, "2024-01-01", 1, "view", 1.0, "{}")], columns=cols)
+    nanos["ts"] = pd.to_datetime(nanos["ts"]).astype("int64")
+    nanos.to_parquet(d / "a_nanos.parquet")
+    ntz = pd.DataFrame([(2, "2024-01-01", 1, "view", 1.0, "{}")], columns=cols)
+    ntz["ts"] = pd.to_datetime(ntz["ts"]).astype("datetime64[us]")
+    ntz.to_parquet(d / "b_ntz.parquet")
+
+    with pytest.raises(ValueError, match="mixed ts encodings"):
+        _event_ts_encoding(str(d))
+
+    # a uniform directory still resolves
+    (d / "b_ntz.parquet").unlink()
+    assert _event_ts_encoding(str(d)) == "nanos"
