@@ -55,11 +55,30 @@ HEADLINE = [
     "q123_ohlc_bars",
     "q124_dedup_keep_best",
     "q125_conversion_pattern",
+    "q126_incremental_dedup",
+    "q128_bmp_decode",
+    "q129_wav_decode",
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def canary_sec(spark) -> float:
+    """Fixed synthetic workload (no IO, no repo code): times the
+    MACHINE, not the engine. Successive rounds divide per-query times
+    by this to separate VM drift from real regressions — r3→r5 showed a
+    uniform 1.21× shift on untouched queries, pure host noise."""
+    t0 = time.perf_counter()
+    (
+        spark.range(100_000_000)
+        .selectExpr("id % 1024 AS k", "id * 2654435761 % 97 AS v")
+        .groupBy("k")
+        .agg({"v": "sum", "*": "count"})
+        .write.format("noop").mode("overwrite").save()
+    )
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -98,6 +117,11 @@ def main() -> None:
     # Fail-soft per query: one broken query must never zero out the
     # whole bench artifact — record its error string and keep timing
     # the rest (errors sum as 0 into the total, visible in "queries").
+    # Canary before AND after the timed sweep (best of the two): VM
+    # interference varies over minutes, bracketing the sweep catches it.
+    canary = canary_sec(spark)  # warm codegen for the canary plan
+    canary = min(canary_sec(spark), canary_sec(spark))
+
     timings: dict[str, float | str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
@@ -113,6 +137,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = f"err: {err}" if err else round(best, 3)
 
+    canary = min(canary, canary_sec(spark))
+
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     print(
         json.dumps(
@@ -122,6 +148,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "canary_sec": round(canary, 3),
+                "queries_canary_norm": {
+                    name: round(v / canary, 2)
+                    for name, v in timings.items()
+                    if isinstance(v, float)
+                },
             }
         )
     )

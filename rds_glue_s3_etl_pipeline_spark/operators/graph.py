@@ -53,14 +53,25 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    changed = 0
+    def _label_sig(df: DataFrame):
+        # Stability signature of the label table (same pattern as the
+        # star variant's edge signature): labels move monotonically
+        # downward, so an unchanged hash-sum means fixpoint. One
+        # aggregation job per round — replaces the old new-vs-old
+        # label JOIN + limit(1).count() probe.
+        return df.select(
+            F.sum(F.xxhash64("id", "label").cast("decimal(38,0)")).alias("h")
+        ).first()["h"]
+
+    sig = _label_sig(labels)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels.id == nbr_min.a, "left")
             .select(
                 "id",
@@ -70,18 +81,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sig = _label_sig(labels)
+        if new_sig == sig:
+            converged = True
             break
+        sig = new_sig
 
-    if changed != 0:
+    if not converged:
         msg = (
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds (component diameter exceeds max_iter); labels are partial"

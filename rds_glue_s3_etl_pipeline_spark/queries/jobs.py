@@ -1,0 +1,88 @@
+"""Driver-checkable queries for the job-level surfaces that were
+pytest-only until round 6: the token-balanced shard sink (S9) and the
+config-driven job entry (S10). Each query RUNS the real sink/pipeline
+against a scratch directory, reads the materialized output back, and
+returns a DataFrame the DuckDB oracle can hash-verify — putting the
+end-to-end write path under the driver's eye, not just unit tests.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+_SHARD_TARGET = 50_000  # chars per shard; ~15 shards at sf0.01
+
+# write_token_balanced_shards assigns shard = floor(exclusive-prefix
+# weight / target) in doc_id order — exactly expressible as a window.
+_Q130_ORACLE = f"""
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM documents
+)
+SELECT CAST(FLOOR(prior / {_SHARD_TARGET}.0) AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM cum
+GROUP BY CAST(FLOOR(prior / {_SHARD_TARGET}.0) AS BIGINT)
+"""
+
+
+@query("q130_token_shards", oracle=_Q130_ORACLE, tags=("sink", "EXT"))
+def q130_token_shards(spark, sf_dir):
+    """S9 end-to-end under the oracle: run the token-balanced shard
+    sink (two-pass prefix-sum assignment, docs never split — see
+    sources/sinks.py) over the documents table, read the sharded
+    parquet back, and report per-shard stats. Hash-verified against a
+    window-function recompute of the exact shard assignment."""
+    from ..sources.sinks import write_token_balanced_shards
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = tempfile.mkdtemp(prefix="q130_shards_")
+    write_token_balanced_shards(
+        d, out, weight_col="n_chars", order_cols=["doc_id"],
+        target_weight_per_shard=_SHARD_TARGET,
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_Q131_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@query("q131_config_job", oracle=_Q131_ORACLE, tags=("pipeline", "EXT"))
+def q131_config_job(spark, sf_dir):
+    """S10 end-to-end under the oracle: drive the reference dataflow
+    (validate → precedence-merge → audit → single-CSV sink → notify,
+    gule_test_job.py:107-221) from a JSON-shaped config dict through
+    job_config.run_job, then read the CSV artifact back with the
+    table's schema. Primary and fallback are both the nation table, so
+    the merged output must equal it exactly — any column reorder, cell
+    corruption, or CSV round-trip drift breaks the hash. nation is
+    all-exact types (no CSV float formatting ambiguity)."""
+    from ..job_config import run_job
+
+    out_dir = tempfile.mkdtemp(prefix="q131_job_")
+    out_csv = os.path.join(out_dir, "merged.csv")
+    nation_path = os.path.join(sf_dir, "nation.parquet")
+    run_job(
+        spark,
+        {
+            "primary": {"format": "parquet", "path": nation_path},
+            "fallback": {"format": "parquet", "path": nation_path},
+            "merge": {"key": "n_nationkey"},
+            "output": {"path": out_csv},
+        },
+    )
+    schema = load(spark, sf_dir, "nation").schema
+    return spark.read.option("header", True).schema(schema).csv(out_csv)

@@ -33,6 +33,15 @@ def main() -> int:
     old, new = load_bench(sys.argv[1]), load_bench(sys.argv[2])
     oq = {k: v for k, v in old.get("queries", {}).items() if isinstance(v, (int, float))}
     nq = {k: v for k, v in new.get("queries", {}).items() if isinstance(v, (int, float))}
+    # When both artifacts carry a machine canary, normalize by it so
+    # host-speed drift (uniform 1.2x shifts across unrelated plans)
+    # cancels out and only engine-relative changes remain.
+    oc, nc = old.get("canary_sec"), new.get("canary_sec")
+    if oc and nc:
+        print(f"canary: {oc:.3f}s -> {nc:.3f}s (machine drift {nc/oc:.2f}x); "
+              "ratios below are canary-normalized")
+        oq = {k: v / oc for k, v in oq.items()}
+        nq = {k: v / nc for k, v in nq.items()}
     shared = sorted(set(oq) & set(nq), key=lambda k: nq[k] / oq[k] if oq[k] else 0, reverse=True)
     worst = 0.0
     print(f"{'query':40s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
