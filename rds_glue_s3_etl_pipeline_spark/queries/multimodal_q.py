@@ -31,10 +31,24 @@ def q35_multimodal_metadata(spark, sf_dir):
     return feats.select("doc_id", "n_bytes", "content_hash")
 
 
-@query("q36_multimodal_features", oracle=None, tags=("multimodal", "EXT", "rows-only"))
+_Q36_ORACLE = """
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_bytes,
+       SUM(ascii(substring(d.text, u.i, 1))) / CAST(length(d.text) AS DOUBLE) AS mean_byte,
+       CAST(MAX(ascii(substring(d.text, u.i, 1))) AS BIGINT) AS max_byte
+FROM documents d,
+     UNNEST(generate_series(1, length(d.text))) AS u(i)
+GROUP BY d.doc_id, length(d.text)
+"""
+
+
+@query("q36_multimodal_features", oracle=_Q36_ORACLE, tags=("multimodal", "EXT"))
 def q36_multimodal_features(spark, sf_dir):
-    """Full decoded feature set (stub decoder) — rows-only check; the
-    byte-level feature math is asserted in tests/test_multimodal.py."""
+    """Full decoded feature set through the mapInPandas path —
+    hash-verified since round 6: the byte stats are recomputed by the
+    oracle from the source text bytes (ASCII fixture: chars == bytes),
+    so the Arrow batch iteration and per-payload feature math are
+    value-checked, not just row-counted."""
     media = attach_binary_payload(load(spark, sf_dir, "documents"))
     return extract_features(media).select(
         "doc_id", "n_bytes", "mean_byte", F.col("max_byte").cast("long").alias("max_byte")
