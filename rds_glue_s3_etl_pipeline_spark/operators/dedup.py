@@ -71,6 +71,16 @@ def minhash_signatures(
     # that fits num_perm-bit signatures anyway. ANSI mode forbids the
     # classic overflow-wrapping a*h+b universal mix, so re-hash it is.)
     hashed = sh.select(id_col, F.xxhash64("sh").alias("h")).distinct()
+    return minhash_from_hashed_shingles(hashed, id_col=id_col, num_perm=num_perm)
+
+
+def minhash_from_hashed_shingles(
+    hashed: DataFrame, id_col: str = "doc_id", num_perm: int = 32
+) -> DataFrame:
+    """Signatures from an already-hashed distinct (id, h) shingle set —
+    the entry point when the caller shares that set across pipeline
+    stages (queries/text.py staged_near_dup_edges materializes it once
+    for signatures, sizes, and the verify join)."""
     aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_perm)

@@ -204,10 +204,14 @@ def q23_ngram_jaccard_pairs(spark, sf_dir):
     # they can fan out df² join rows (lossless at fixture scale —
     # measured max df 4 — and standard practice at web scale). Sizes
     # are computed BEFORE the cap so Jaccard denominators stay exact.
+    # Materialized once (localCheckpoint): sizes, the df aggregate,
+    # and both self-join sides all read this set — without it the
+    # explode+hash+distinct re-runs per branch.
     sh = (
         X.exploded_word_shingles(d, "text", "doc_id", _SHINGLE_N)
         .select("doc_id", F.xxhash64("sh").alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh2 = df_capped_shingles(sh)
@@ -247,15 +251,26 @@ def staged_near_dup_edges(spark, sf_dir):
     """
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
 
-    d = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, num_perm=32, shingle_n=_SHINGLE_N)
-    cand = lsh_candidate_pairs(sig, num_perm=32, bands=32)
+    from ..operators.dedup import minhash_from_hashed_shingles
 
+    d = load(spark, sf_dir, "documents")
+    # Materialize the distinct (doc, shingle-hash) set ONCE: four DAG
+    # branches consume it (minhash signatures, per-doc sizes, both
+    # sides of the verify join), and without a checkpoint Catalyst
+    # re-runs the regex-split + explode + hash + distinct for each —
+    # the single most expensive stage of the pipeline. localCheckpoint
+    # truncates lineage and shares the materialized set (the same
+    # pattern operators/graph.py uses per CC round). On a cluster this
+    # is the "shingle table you compute once per corpus snapshot".
     sh = (
         X.exploded_word_shingles(d, "text", "doc_id", _SHINGLE_N)
         .select("doc_id", F.xxhash64("sh").alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    sig = minhash_from_hashed_shingles(sh, num_perm=32)
+    cand = lsh_candidate_pairs(sig, num_perm=32, bands=32)
+
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # The verify join is candidate-driven, so no df cap is needed here:
     # a hot shingle's fanout is bounded by the candidate list, not df².

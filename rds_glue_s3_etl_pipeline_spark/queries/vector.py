@@ -105,6 +105,10 @@ def q25_minhash_lsh_pairs(spark, sf_dir):
     Jaccard — the 100 TB scale path for q23's exact join. Rows-only
     check (hash seeding is engine-specific, not SQL-expressible)."""
     d = load(spark, sf_dir, "documents")
+    # No checkpoint here: the self-join sides are IDENTICAL subplans,
+    # so Catalyst's ReusedExchange already shares the signature
+    # shuffle (measured neutral at sf0.1 — unlike text.py's staged
+    # pipeline, whose branches differ and do need the materialization).
     sigs = minhash_signatures(d, num_perm=32, shingle_n=5)
     pairs = lsh_candidate_pairs(sigs, num_perm=32, bands=8)
     return minhash_jaccard_estimate(sigs, pairs, num_perm=32).filter(
