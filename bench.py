@@ -58,6 +58,7 @@ HEADLINE = [
     "q126_incremental_dedup",
     "q128_bmp_decode",
     "q129_wav_decode",
+    "q132_incremental_vector_dedup",
 ]
 
 

@@ -277,3 +277,74 @@ def q127_embedding_dedup_keep_best(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members")
     )
     return kept.join(members, "cluster_id")
+
+
+# --------------------------------------------------------------------------
+# q132: incremental embedding dedup — q126's twin for vectors. New
+# vectors (deterministic split) match against the historical corpus
+# only; best historical match per new vector above the threshold.
+# --------------------------------------------------------------------------
+
+from .vector import _NEAR_DUP_THRESHOLD  # noqa: E402
+
+_Q132_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT n.vec_id AS new_vec_id, h.vec_id AS hist_vec_id,
+         CAST(n.label AS BIGINT) AS label,
+         ROUND(list_cosine_similarity(n.v, h.v), 4) AS cos_sim
+  FROM e n JOIN e h
+    ON n.label = h.label AND n.vec_id % 5 = 0 AND h.vec_id % 5 <> 0
+)
+SELECT new_vec_id, hist_vec_id AS best_hist_vec_id, label, cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY new_vec_id ORDER BY cos_sim DESC, hist_vec_id) AS rn
+      FROM scored
+      WHERE cos_sim >= {_NEAR_DUP_THRESHOLD})
+WHERE rn = 1
+"""
+
+
+@query("q132_incremental_vector_dedup", oracle=_Q132_ORACLE, tags=("vector", "dedup", "EXT"))
+def q132_incremental_vector_dedup(spark, sf_dir):
+    """Incremental-ingest dedup for embeddings: INCOMING vectors
+    (vec_id % 5 == 0) match against the HISTORICAL corpus only, within
+    a label block — the vector-modality twin of q126. No new×new or
+    history×history pairs ever form, so each ingest batch pays
+    |new|×|block| work, not corpus².
+
+    Scale: at 100 TB the history side is the persisted ANN index
+    (q59's IVF codebook assignment: probe only the nearest cells)
+    rather than a full block scan; the asymmetric join shape and the
+    best-match window are identical. Best match per new vector is a
+    per-new-id window over candidates (bounded by the block).
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    new = e.filter(F.col("vec_id") % 5 == 0).alias("n")
+    hist = e.filter(F.col("vec_id") % 5 != 0).alias("h")
+    cos = F.round(V.cosine(F.col("n.embedding"), F.col("h.embedding")), 4)
+    scored = (
+        new.join(hist, F.col("n.label") == F.col("h.label"))
+        .select(
+            F.col("n.vec_id").alias("new_vec_id"),
+            F.col("h.vec_id").alias("hist_vec_id"),
+            F.col("n.label").cast("long").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _NEAR_DUP_THRESHOLD)
+    )
+    w = Window.partitionBy("new_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("hist_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_vec_id",
+            F.col("hist_vec_id").alias("best_hist_vec_id"),
+            "label",
+            "cos_sim",
+        )
+    )
