@@ -119,3 +119,46 @@ def test_bmp_decode_features_end_to_end(spark, sf_dir):
         assert (got["width"], got["height"]) == (8, 8)
         assert got["mean_px"] == pytest.approx(sum(raw) / 192)
         assert got["max_px"] == max(raw)
+
+
+def test_bmp_wav_roundtrip_property():
+    """Property: any pixel buffer / sample list survives encode→decode
+    bit-exactly, across dimensions that do and don't need row padding."""
+    from hypothesis import given, settings, strategies as st
+
+    from rds_glue_s3_etl_pipeline_spark.multimodal.codec import (
+        decode_bmp24,
+        decode_wav16,
+        encode_bmp24,
+        encode_wav16,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        data=st.data(),
+    )
+    def bmp_prop(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        img = decode_bmp24(encode_bmp24(w, h, px))
+        assert (img["width"], img["height"], img["pixels"]) == (w, h, px)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def wav_prop(samples, rate):
+        wav = decode_wav16(encode_wav16(samples, rate))
+        assert list(wav["samples"]) == samples
+        assert wav["sample_rate"] == rate
+
+    bmp_prop()
+    wav_prop()

@@ -365,3 +365,14 @@ def test_fixture_shingle_df_below_cap(spark, sf_dir):
         f"{MAX_SHINGLE_DF}; raise the cap or the df-capped joins stop "
         "being lossless at test scale"
     )
+
+
+def test_q124_plan_broadcasts_cluster_map(spark):
+    """Regression for the round-5 verdict: the survivor pick must keep
+    broadcast joins in its physical plan (the cluster-map join was
+    silently sort-merge before round 6)."""
+    from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["q124_dedup_keep_best"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
