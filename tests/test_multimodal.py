@@ -162,3 +162,37 @@ def test_bmp_wav_roundtrip_property():
 
     bmp_prop()
     wav_prop()
+
+
+def test_binaryfile_ingest_to_decode(spark, tmp_path):
+    """Real-media ingestion path end-to-end: BMP files on disk →
+    spark.read.format("binaryFile") → decode_bmp_features. This is the
+    production ingest the synthesis helpers stand in for."""
+    from rds_glue_s3_etl_pipeline_spark.multimodal.codec import (
+        decode_bmp_features,
+        encode_bmp24,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        px = bytes([(i * 40 + j) % 256 for j in range(4 * 4 * 3)])
+        (d / f"img_{i}.bmp").write_bytes(encode_bmp24(4, 4, px))
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(str(d))
+    )
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = {r["doc_id"]: r for r in decode_bmp_features(media).collect()}
+    assert len(feats) == 3
+    for i in range(3):
+        px = bytes([(i * 40 + j) % 256 for j in range(4 * 4 * 3)])
+        assert feats[i]["mean_px"] == pytest.approx(sum(px) / len(px))
+        assert feats[i]["max_px"] == max(px)
