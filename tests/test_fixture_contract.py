@@ -76,3 +76,28 @@ def test_stream_reader_matches_batch(spark, tmp_path):
         for r in load(spark, SF_DIRS[0], "events").select("event_id", "ts").collect()
     }
     assert got == want
+
+
+def test_fixture_near_dup_pairs_have_lsh_safe_jaccard(spark):
+    """Contract: the staged dedup path (q108/q124) reproduces the exact
+    all-pairs answer because every true near-dup pair in the fixture
+    sits FAR above the 0.2 threshold — at j >= 0.5 the 32-band LSH miss
+    probability is (1-j)^32 <= 2e-10 per pair, i.e. zero in practice
+    (measured fixture minimum: 0.875 at sf0.01, 0.75 at sf0.1). If a
+    regeneration starts emitting borderline pairs (j barely over 0.2),
+    this fails BY NAME before the oracle sweep fails mysteriously —
+    the fix then is more permutations (num_perm) in
+    queries/text.py staged_near_dup_edges, not a hunt."""
+    from pyspark.sql import functions as F
+
+    from rds_glue_s3_etl_pipeline_spark.queries.registry import REGISTRY
+
+    pairs = REGISTRY["q23_ngram_jaccard_pairs"].fn(spark, SF_DIRS[0])
+    min_j = pairs.agg(F.min("jaccard")).collect()[0][0]
+    if min_j is None:
+        return  # no near-dup pairs at all: staged path trivially exact
+    assert min_j >= 0.5, (
+        f"fixture now contains a borderline near-dup pair (jaccard={min_j}); "
+        "32-band LSH recall is no longer effectively 1 — raise num_perm in "
+        "staged_near_dup_edges or q108/q124 will flake against the oracle"
+    )
