@@ -61,6 +61,15 @@ def _loader(spark: SparkSession, block: dict) -> Callable[[], DataFrame]:
         return lambda: read_parquet(spark, block["path"])
     if fmt == "csv":
         return lambda: read_csv(spark, block["path"], schema=block.get("schema"))
+    if fmt == "xml":
+        from .sources.readers import read_xml
+
+        return lambda: read_xml(
+            spark,
+            block["path"],
+            row_tag=block.get("row_tag", "row"),
+            schema=block.get("schema"),
+        )
     if fmt == "jdbc":
         return lambda: jdbc_reader(
             spark,

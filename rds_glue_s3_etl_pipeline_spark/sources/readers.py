@@ -98,3 +98,20 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     parquet via Spark's native reader; here for lake interop (the
     format a Hive-era warehouse hands you)."""
     return spark.read.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML source (Spark 4 native, the former spark-xml connector) —
+    legacy-feed interop: one DataFrame row per ``row_tag`` element,
+    nested elements as structs/arrays. Pass an explicit schema in
+    production (same pinned-schema rule as the JSON feed, SURVEY §7a);
+    inference reads the data twice."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -147,3 +147,22 @@ def write_orc(
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
     return path
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> str:
+    """XML sink (Spark 4 native) — the export shape consumed by
+    legacy/B2B integrations that predate parquet."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+    return path

@@ -220,3 +220,27 @@ def test_orc_roundtrip(spark, tmp_path):
     filtered = back.filter(F.col("n_nationkey") == 3)
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "pushed" in plan.lower() or filtered.count() == 1
+
+
+def test_xml_roundtrip_with_nested_struct(spark, tmp_path):
+    """XML source/sink (Spark 4 native): flat and nested values survive
+    a write→read roundtrip with a pinned schema."""
+    from pyspark.sql import functions as F
+
+    from rds_glue_s3_etl_pipeline_spark.sources.readers import read_xml
+    from rds_glue_s3_etl_pipeline_spark.sources.sinks import write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alice", ("NYC", 10001)), (2, "bob", ("SF", 94103))],
+        "id long, name string, addr struct<city:string, zip:long>",
+    )
+    out = str(tmp_path / "people_xml")
+    write_xml(df, out, row_tag="person", root_tag="people")
+    back = read_xml(
+        spark, out, row_tag="person",
+        schema="id long, name string, addr struct<city:string, zip:long>",
+    )
+    got = {r["id"]: r for r in back.collect()}
+    assert len(got) == 2
+    assert got[1]["addr"]["city"] == "NYC" and got[2]["addr"]["zip"] == 94103
+    assert got[2]["name"] == "bob"
