@@ -266,3 +266,33 @@ def notify_each_batch(
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
     )
+
+
+def rocksdb_state_conf(changelog_checkpointing: bool = True) -> dict[str, str]:
+    """Session confs for the RocksDB state store provider — the state
+    backend a production-scale stateful stream runs on. The default
+    HDFS-backed provider keeps every key IN EXECUTOR HEAP, so state
+    size is capped by memory; RocksDB spills to local disk (state
+    bounded by disk, not heap) and with changelog checkpointing
+    uploads per-batch deltas instead of full snapshots.
+
+    Apply at session build (the provider cannot change on a running
+    query's checkpoint):
+
+        get_spark(..., extra_conf=rocksdb_state_conf())
+
+    Local tests default to the HDFS provider for speed; the contract
+    tested in tests/test_streaming.py is that every stateful operator
+    here (windowed aggs, dedup, applyInPandasWithState) runs
+    identically on RocksDB.
+    """
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+    }
+    if changelog_checkpointing:
+        conf[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true"
+    return conf

@@ -477,3 +477,71 @@ def test_mixed_ts_encoding_dir_fails_loudly(spark, tmp_path):
     # a uniform directory still resolves
     (d / "b_ntz.parquet").unlink()
     assert _event_ts_encoding(str(d)) == "nanos"
+
+
+def test_stateful_operators_run_on_rocksdb(tmp_path):
+    """The 100 TB state backend: the custom applyInPandasWithState
+    operator produces the same cross-batch totals under the RocksDB
+    state store provider (disk-backed state + changelog checkpoints)
+    as under the default heap-backed provider."""
+    import pandas as pd
+
+    from rds_glue_s3_etl_pipeline_spark.session import get_spark
+    from rds_glue_s3_etl_pipeline_spark.streaming.ops import (
+        read_event_stream,
+        rocksdb_state_conf,
+    )
+    from rds_glue_s3_etl_pipeline_spark.streaming.stateful import (
+        user_totals_with_eviction,
+    )
+
+    spark = get_spark("rocksdb_t8", cpus=4, shuffle_partitions=4,
+                      extra_conf=rocksdb_state_conf())
+    assert "RocksDB" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    # getOrCreate reuses the shared test session — restore the default
+    # provider afterwards so sibling streaming tests keep their backend.
+    prev_conf = {
+        k: spark.conf.get(k, None) for k in rocksdb_state_conf()
+    }
+
+    d = tmp_path / "rocks_in"
+    d.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def drop(name, rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("int64")
+        pdf.to_parquet(d / name)
+
+    drop("b1.parquet", [(1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+                        (2, "2024-01-01 10:01:00", 1, "view", 2.0, "{}")])
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    out = user_totals_with_eviction(stream, watermark="10 minutes",
+                                    idle_timeout_min=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rocks_t8")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: state must carry across batches through RocksDB
+        drop("b2.parquet", [(3, "2024-01-01 10:05:00", 1, "view", 10.0, "{}")])
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+        for k in rocksdb_state_conf():
+            spark.conf.unset(k)
+        for k, v in prev_conf.items():
+            if v is not None and "RocksDB" not in str(v):
+                spark.conf.set(k, v)
+
+    rows = {(r["user_id"], r["n_events"]): r["total_value"]
+            for r in spark.table("rocks_t8").collect()}
+    assert rows[(1, 2)] == 3.0
+    assert rows[(1, 3)] == 13.0  # accumulated through RocksDB state
