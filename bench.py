@@ -59,6 +59,7 @@ HEADLINE = [
     "q128_bmp_decode",
     "q129_wav_decode",
     "q132_incremental_vector_dedup",
+    "q133_pretrain_export",
 ]
 
 

@@ -86,3 +86,84 @@ def q131_config_job(spark, sf_dir):
     )
     schema = load(spark, sf_dir, "nation").schema
     return spark.read.option("header", True).schema(schema).csv(out_csv)
+
+
+# --------------------------------------------------------------------------
+# q133: the flagship composite — a pretraining-corpus export in one
+# query: quality gate -> near-dup survivor pick -> token-balanced
+# shard assignment. This is the materialization a training-data
+# pipeline actually ships to the trainer, and every stage is the
+# oracle-verified operator it reuses (q20 quality, q124 survivors,
+# q130 shard math).
+# --------------------------------------------------------------------------
+
+_QUALITY_MIN = 0.5
+_EXPORT_TARGET = 50_000
+
+
+def _q133_oracle() -> str:
+    from .events3 import _Q124_ORACLE
+    from .text import _SW_SQL
+
+    quality = (
+        "0.5 * (LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / LENGTH(text))"
+        f" + 0.3 * LEAST((({_SW_SQL}) /"
+        " array_length(regexp_split_to_array(TRIM(text), '\\s+'))) * 5, 1.0)"
+        " + 0.2 * (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 20000"
+        " THEN 1.0 ELSE 0.0 END)"
+    )
+    return f"""
+WITH kept AS (
+  SELECT kept_doc_id FROM ({_Q124_ORACLE})
+),
+export AS (
+  SELECT d.doc_id, d.n_chars, ({quality}) AS quality
+  FROM documents d JOIN kept ON kept.kept_doc_id = d.doc_id
+  WHERE ({quality}) >= {_QUALITY_MIN}
+),
+cum AS (
+  SELECT doc_id, n_chars, quality,
+         COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM export
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, quality,
+       CAST(FLOOR(prior / {_EXPORT_TARGET}.0) AS BIGINT) AS shard
+FROM cum
+"""
+
+
+@query("q133_pretrain_export", oracle=_q133_oracle(), tags=("pipeline", "dedup", "EXT"))
+def q133_pretrain_export(spark, sf_dir):
+    """End-to-end training-corpus build: near-dup SURVIVORS (staged-LSH
+    edges → star-contraction clusters → longest-doc pick, q124) pass a
+    QUALITY gate (q20's weighted heuristic) and receive token-balanced
+    SHARD ids (two-pass prefix sum, q130's math) — one DataFrame, every
+    stage the already-oracle-verified operator it reuses.
+
+    Scale: the three stages compose without a driver round-trip; the
+    only orderings are the per-cluster survivor window (bounded
+    clusters) and the range-partitioned prefix sum (operators/
+    prefix.py) for shard ids. At 100 TB this query IS the export job;
+    writing it is write_token_balanced_shards on the result.
+    """
+    from ..functions import text as X
+    from ..operators.prefix import global_running_sum
+    from .events3 import q124_dedup_keep_best
+
+    kept = q124_dedup_keep_best(spark, sf_dir).select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    d = load(spark, sf_dir, "documents").join(kept, "doc_id")
+    export = d.select(
+        "doc_id", "n_chars", X.quality_score("text").alias("quality")
+    ).filter(F.col("quality") >= _QUALITY_MIN)
+    cum = global_running_sum(export, ["doc_id"], value="n_chars", out_col="__cum")
+    return cum.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "quality",
+        F.floor((F.col("__cum") - F.col("n_chars")) / F.lit(float(_EXPORT_TARGET)))
+        .cast("long")
+        .alias("shard"),
+    )
