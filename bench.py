@@ -60,6 +60,7 @@ HEADLINE = [
     "q129_wav_decode",
     "q132_incremental_vector_dedup",
     "q133_pretrain_export",
+    "q134_corpus_mix_report",
 ]
 
 

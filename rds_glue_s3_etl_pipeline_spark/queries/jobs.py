@@ -167,3 +167,75 @@ def q133_pretrain_export(spark, sf_dir):
         .cast("long")
         .alias("shard"),
     )
+
+
+# --------------------------------------------------------------------------
+# q134: corpus-mix report — per-source share of documents and chars,
+# before dedup and after the survivor pick. The go/no-go report a data
+# team reads before training: a source whose share COLLAPSES after
+# dedup was mostly duplicates (scraper echo, mirror site).
+# --------------------------------------------------------------------------
+
+
+def _q134_oracle() -> str:
+    from .events3 import _Q124_ORACLE
+
+    return f"""
+WITH kept AS (
+  SELECT kept_doc_id FROM ({_Q124_ORACLE})
+),
+pre AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+  FROM documents GROUP BY source
+),
+post AS (
+  SELECT d.source, COUNT(*) AS n_docs, SUM(d.n_chars) AS chars
+  FROM documents d JOIN kept ON kept.kept_doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT pre.source,
+       CAST(pre.n_docs AS BIGINT) AS docs_pre,
+       CAST(COALESCE(post.n_docs, 0) AS BIGINT) AS docs_post,
+       CAST(pre.chars AS BIGINT) AS chars_pre,
+       CAST(COALESCE(post.chars, 0) AS BIGINT) AS chars_post,
+       COALESCE(post.chars, 0) / CAST(pre.chars AS DOUBLE) AS survival_rate
+FROM pre LEFT JOIN post ON pre.source = post.source
+"""
+
+
+@query("q134_corpus_mix_report", oracle=_q134_oracle(), tags=("pipeline", "dedup", "EXT"))
+def q134_corpus_mix_report(spark, sf_dir):
+    """Per-source mix before/after the dedup survivor pick: doc and
+    char counts plus the char survival rate. Both aggregates are
+    map-side combinable groupBys; the survivor set joins in broadcast-
+    sized (bounded by the dup-cluster count). A collapsed
+    survival_rate flags a source as duplicate-heavy before any tokens
+    are spent on it."""
+    from .events3 import q124_dedup_keep_best
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pre = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_pre"),
+        F.sum("n_chars").alias("chars_pre"),
+    )
+    kept = q124_dedup_keep_best(spark, sf_dir).select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    post = (
+        d.join(F.broadcast(kept), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_post"),
+            F.sum("n_chars").alias("chars_post"),
+        )
+    )
+    return pre.join(post, "source", "left").select(
+        "source",
+        "docs_pre",
+        F.coalesce("docs_post", F.lit(0)).alias("docs_post"),
+        "chars_pre",
+        F.coalesce("chars_post", F.lit(0)).alias("chars_post"),
+        (
+            F.coalesce("chars_post", F.lit(0)) / F.col("chars_pre").cast("double")
+        ).alias("survival_rate"),
+    )
