@@ -35,6 +35,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    SimpleDataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -178,3 +179,57 @@ class JsonFeedDataSource(DataSource):
 
     def reader(self, schema: StructType) -> _JsonFeedReader:
         return _JsonFeedReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> "_JsonFeedStreamReader":
+        return _JsonFeedStreamReader(schema, dict(self.options))
+
+
+class _JsonFeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: micro-batch offsets over an
+    APPEND-ONLY feed directory, offset = count of files consumed in
+    sorted filename order (feed stores name objects monotonically, so
+    new drops sort after consumed ones; consumed files must never be
+    rewritten).
+
+    ``read`` consumes everything past the start offset and returns the
+    new high-water mark; ``readBetweenOffsets`` replays a committed
+    range DETERMINISTICALLY after a restart — the slice of the sorted
+    file list is the replay contract, which is what makes the source
+    exactly-once-capable end to end (pair with the epoch-partitioned
+    idempotent sink, streaming/ops.py).
+
+    The driver-side reader returns row tuples (SimpleDataSourceStream
+    Reader runs on the driver by design — right for control-plane-size
+    feeds; a partition-planned DataSourceStreamReader is the upgrade
+    path if per-batch volume outgrows one machine).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("json_feed stream requires a directory path")
+        self._fields = [f.name for f in schema.fields]
+
+    def _files(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self._path, "*.json")))
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        rows: list[tuple] = []
+        for p in files:
+            with open(p) as fh:
+                for rec in json.load(fh):
+                    rows.append(tuple(rec.get(c) for c in self._fields))
+        return rows
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        new = files[start["n_files"]:]
+        return iter(self._rows(new)), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()[start["n_files"]:end["n_files"]]
+        return iter(self._rows(files))

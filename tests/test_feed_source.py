@@ -100,3 +100,77 @@ def test_feed_source_requires_schema(spark, feed_dir):
 
     with pytest.raises((Py4JJavaError, AnalysisException, Exception)):
         _registered(spark).read.format("json_feed").load(feed_dir).collect()
+
+
+def test_json_feed_stream_across_drops(spark, tmp_path):
+    """S8 streaming twin: the custom source consumes an append-only
+    feed directory as micro-batches — state carries across drops, each
+    file's records arrive exactly once."""
+    import json as _json
+
+    d = tmp_path / "feed_stream"
+    d.mkdir()
+    (d / "a_0001.json").write_text(_json.dumps(
+        [{"id": 1, "name": "a", "v": 1.5}, {"id": 2, "name": "b", "v": 2.5}]
+    ))
+
+    from rds_glue_s3_etl_pipeline_spark.sources.feed_source import (
+        register_feed_source,
+    )
+
+    register_feed_source(spark)
+    stream = (
+        spark.readStream.format("json_feed")
+        .schema("id long, name string, v double")
+        .load(str(d))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("feed_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_feed"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (d / "b_0002.json").write_text(_json.dumps(
+            [{"id": 3, "name": "c", "v": 3.5}]
+        ))
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    rows = {r["id"]: (r["name"], r["v"])
+            for r in spark.table("feed_stream").collect()}
+    assert rows == {1: ("a", 1.5), 2: ("b", 2.5), 3: ("c", 3.5)}
+
+
+def test_json_feed_stream_replay_deterministic(tmp_path):
+    """readBetweenOffsets must replay a committed range bit-identically
+    after restart (the exactly-once contract), including when NEW files
+    arrived after the range was committed."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+    from rds_glue_s3_etl_pipeline_spark.sources.feed_source import (
+        _JsonFeedStreamReader,
+    )
+
+    d = tmp_path / "feed_replay"
+    d.mkdir()
+    (d / "a.json").write_text(_json.dumps([{"id": 1, "name": "a", "v": 1.0}]))
+    (d / "b.json").write_text(_json.dumps([{"id": 2, "name": "b", "v": 2.0}]))
+
+    schema = StructType.fromDDL("id long, name string, v double")
+    r = _JsonFeedStreamReader(schema, {"path": str(d)})
+    assert r.initialOffset() == {"n_files": 0}
+    rows, end = r.read({"n_files": 0})
+    assert list(rows) == [(1, "a", 1.0), (2, "b", 2.0)]
+    assert end == {"n_files": 2}
+    # a later drop must NOT leak into the committed [0, 2) range
+    (d / "c.json").write_text(_json.dumps([{"id": 3, "name": "c", "v": 3.0}]))
+    replay = list(r.readBetweenOffsets({"n_files": 0}, {"n_files": 2}))
+    assert replay == [(1, "a", 1.0), (2, "b", 2.0)]
+    rows2, end2 = r.read({"n_files": 2})
+    assert list(rows2) == [(3, "c", 3.0)] and end2 == {"n_files": 3}
