@@ -207,10 +207,11 @@ FROM pre LEFT JOIN post ON pre.source = post.source
 def q134_corpus_mix_report(spark, sf_dir):
     """Per-source mix before/after the dedup survivor pick: doc and
     char counts plus the char survival rate. Both aggregates are
-    map-side combinable groupBys; the survivor set joins in broadcast-
-    sized (bounded by the dup-cluster count). A collapsed
-    survival_rate flags a source as duplicate-heavy before any tokens
-    are spent on it."""
+    map-side combinable groupBys. The survivor set is ~corpus-sized
+    (every non-duplicate keeps itself), so it hash-joins on doc_id —
+    NOT a broadcast; only q124's internal cluster map (dup subset) is
+    broadcast-sized. A collapsed survival_rate flags a source as
+    duplicate-heavy before any tokens are spent on it."""
     from .events3 import q124_dedup_keep_best
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
@@ -222,7 +223,7 @@ def q134_corpus_mix_report(spark, sf_dir):
         F.col("kept_doc_id").alias("doc_id")
     )
     post = (
-        d.join(F.broadcast(kept), "doc_id")
+        d.join(kept, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs_post"),
