@@ -94,10 +94,26 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--json", help="write per-query status to this path")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession with NO engine configs — the "
+        "driver's exact conditions; catches queries that silently "
+        "depend on session.py settings",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    spark = get_spark("oracle_check", cpus=8)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_check_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check", cpus=8)
     con = duck_connect(args.sf)
     names = args.names or list(REGISTRY)
     results: dict[str, dict] = {}
