@@ -145,7 +145,10 @@ def q133_pretrain_export(spark, sf_dir):
     only orderings are the per-cluster survivor window (bounded
     clusters) and the range-partitioned prefix sum (operators/
     prefix.py) for shard ids. At 100 TB this query IS the export job;
-    writing it is write_token_balanced_shards on the result.
+    writing it is write_token_balanced_shards on the result. (Here the
+    survivor pick is recomputed inline so the query is self-contained;
+    a production pipeline materializes q124's survivor table once per
+    corpus snapshot and both this export and q134's report read it.)
     """
     from ..functions import text as X
     from ..operators.prefix import global_running_sum
