@@ -376,3 +376,14 @@ def test_q124_plan_broadcasts_cluster_map(spark):
     df = REGISTRY["q124_dedup_keep_best"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_global_running_sum_empty_input(spark):
+    """The prefix machinery tolerates an empty input (q133's shape when
+    the quality gate passes zero documents) — zero rows, no crash."""
+    from rds_glue_s3_etl_pipeline_spark.operators.prefix import global_running_sum
+
+    empty = spark.createDataFrame([], "doc_id long, n_chars long")
+    out = global_running_sum(empty, ["doc_id"], value="n_chars", out_col="c")
+    assert out.count() == 0
+    assert "c" in out.columns
