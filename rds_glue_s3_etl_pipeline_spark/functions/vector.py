@@ -39,6 +39,30 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def sq8_dequantize(vec, mins: Column, maxs: Column) -> Column:
+    """Scalar-quantize each dimension to an 8-bit code against per-dim
+    [min, max] bounds, then immediately dequantize — the value a scan
+    over an SQ8-compressed index sees. ``mins``/``maxs`` are (small)
+    array literals: the codebook, trainable on a sample and broadcast.
+
+    All arithmetic is IEEE double add/sub/mul/div + floor (no libm),
+    so the result is bit-identical across engines; a constant
+    dimension (max == min) dequantizes to that constant.
+    """
+    v = as_double_array(vec)
+
+    def deq(x, i):
+        mn = F.element_at(mins, i + F.lit(1))
+        mx = F.element_at(maxs, i + F.lit(1))
+        rng = mx - mn
+        code = F.floor(((x - mn) / rng) * F.lit(255.0) + F.lit(0.5))
+        return F.when(rng == F.lit(0.0), mn).otherwise(
+            mn + (code * rng) / F.lit(255.0)
+        )
+
+    return F.transform(v, deq)
+
+
 def l2_distance_sq(a, b) -> Column:
     a, b = as_double_array(a), as_double_array(b)
     return F.aggregate(

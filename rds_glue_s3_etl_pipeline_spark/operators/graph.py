@@ -190,3 +190,67 @@ def connected_components_star(
         "cluster_id", F.col("id")
     )
     return members.union(roots).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    link-graph reputation signal web-corpus pipelines use to weight
+    crawl sources (CommonCrawl-style harmonic/PageRank centrality).
+
+    Returns (node, rank). Every node must have outdegree >= 1
+    (symmetrize upstream for undirected graphs — otherwise dangling
+    mass leaks and ranks no longer sum to 1). Each iteration is one
+    shuffle-partitioned join (ranks ⋈ edges on src) plus one hash
+    aggregation on dst — no driver-side graph state; lineage is
+    truncated every ``checkpoint_every`` rounds like
+    :func:`connected_components`.
+
+    Determinism: per-edge shares are truncated to DECIMAL(24,14)
+    before the exact decimal sum, and the decimal total re-enters
+    DOUBLE via the string hop (see ``queries.registry.dsum``), so the
+    distributed reduce order cannot change a rank bit — the same
+    fixed-iteration plan is expressible as unrolled SQL CTEs for the
+    oracle.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    teleport = 1.0 - damping  # IEEE double, bit-identical to the SQL twin
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for i in range(iters):
+        shares = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg"))
+                .cast("decimal(24,14)")
+                .alias("share"),
+            )
+        )
+        summed = shares.groupBy("node").agg(
+            F.sum("share").cast("string").cast("double").alias("s")
+        )
+        ranks = summed.crossJoin(F.broadcast(n_df)).select(
+            "node",
+            (F.lit(teleport) / F.col("n") + F.lit(damping) * F.col("s")).alias(
+                "rank"
+            ),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -28,4 +28,5 @@ from . import multimodal_q  # noqa: F401
 from . import scale2  # noqa: F401
 from . import scale3  # noqa: F401
 from . import scale4  # noqa: F401
+from . import scale5  # noqa: F401
 from . import jobs  # noqa: F401

@@ -1,0 +1,278 @@
+"""Fourth scale batch — three operators a web-scale training-data
+pipeline runs between crawl and tokenizer:
+
+* q135: bigram-LM negative-log-likelihood scoring (the CCNet-style
+  "perplexity filter" that gates documents on language-model fit),
+* q136: scalar-quantized (SQ8) approximate nearest neighbour — the
+  memory-side half of a production ANN index (codes are 4x smaller
+  than float32; recall loss is bounded by per-dim quantization error),
+* q137: fixed-iteration PageRank over the customer–supplier link
+  graph (the link-reputation signal used to weight crawl domains).
+
+All three follow the registry's determinism discipline: LM terms and
+PageRank shares are decimal-truncated before distributed sums, SQ8
+dequantization is pure IEEE double arithmetic, so each has an exact
+(or 4dp-rounded, q24-precedent) DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as X
+from ..functions import vector as V
+from ..operators.graph import pagerank
+from ..operators.similarity import cosine_topk
+from .registry import query
+
+# --------------------------------------------------------------------------
+# q135: bigram language-model scoring (perplexity-style quality filter).
+# --------------------------------------------------------------------------
+
+_Q135_ORACLE = """
+WITH tokx AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS tok,
+         GENERATE_SUBSCRIPTS(regexp_split_to_array(TRIM(text), '\\s+'), 1) AS ord
+  FROM documents
+),
+tok2 AS (SELECT * FROM tokx WHERE tok <> ''),
+big AS (
+  SELECT doc_id,
+         LAG(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS prev,
+         tok AS cur
+  FROM tok2
+  QUALIFY prev IS NOT NULL
+),
+cb AS (SELECT prev, cur, COUNT(*) AS cb FROM big GROUP BY prev, cur),
+cp AS (SELECT prev, COUNT(*) AS cp FROM big GROUP BY prev),
+vv AS (SELECT COUNT(DISTINCT tok) AS v FROM tok2),
+terms AS (
+  SELECT big.doc_id,
+         CAST(-ln(CAST(cb.cb + 1 AS DOUBLE) / CAST(cp.cp + vv.v AS DOUBLE))
+              AS DECIMAL(18,8)) AS term
+  FROM big
+  JOIN cb ON big.prev = cb.prev AND big.cur = cb.cur
+  JOIN cp ON big.prev = cp.prev
+  CROSS JOIN vv
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_nll
+FROM terms GROUP BY doc_id
+"""
+
+
+@query("q135_bigram_lm_score", oracle=_Q135_ORACLE, tags=("text", "quality", "EXT"))
+def q135_bigram_lm_score(spark, sf_dir):
+    """Per-document average negative log-likelihood under an add-one-
+    smoothed bigram LM trained on the corpus itself — the perplexity-
+    bucket quality gate (CCNet / Wenzek et al. 2020 shape).
+
+    Plan: one posexplode, a per-doc lag window for bigrams, two hash
+    aggregations for the LM tables (map-side combinable — shuffle is
+    |bigram vocab|, not token count), then a shuffle-hash join of doc
+    bigrams against the LM and a final per-doc aggregation. No UDFs.
+
+    At 100 TB the LM side is what changes, not the plan: score against
+    a PRUNED REFERENCE LM (top-M bigrams + unigram backoff, trained on
+    a held-out clean corpus) small enough to broadcast, making scoring
+    a map-only pass. This query registers the exact self-trained form
+    as the oracle contract; NLL terms are decimal-truncated so the
+    distributed sum is order-independent.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id",
+            F.lag("tok").over(w).alias("prev"),
+            F.col("tok").alias("cur"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    cb = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    cp = big.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    vv = toks.agg(F.countDistinct("tok").alias("v"))
+    p = (F.col("cb") + F.lit(1)).cast("double") / (
+        F.col("cp") + F.col("v")
+    ).cast("double")
+    return (
+        big.join(cb, ["prev", "cur"])
+        .join(cp, ["prev"])
+        .crossJoin(F.broadcast(vv))
+        .select("doc_id", (-F.log(p)).cast("decimal(18,8)").alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("term").cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q136: SQ8 scalar-quantized ANN top-k.
+# --------------------------------------------------------------------------
+
+_SQ_N_QUERIES = 8
+_SQ_TOP_K = 5
+
+_Q136_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT vec_id, GENERATE_SUBSCRIPTS(v, 1) AS d, UNNEST(v) AS x FROM e
+),
+mm AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY d),
+deq AS (
+  SELECT dims.vec_id, dims.d,
+         CASE WHEN mm.mx = mm.mn THEN mm.mn
+              ELSE mm.mn + (FLOOR(((dims.x - mm.mn) / (mm.mx - mm.mn)) * 255.0 + 0.5)
+                            * (mm.mx - mm.mn)) / 255.0
+         END AS val
+  FROM dims JOIN mm ON dims.d = mm.d
+),
+vq AS (SELECT vec_id, LIST(val ORDER BY d) AS v FROM deq GROUP BY vec_id),
+q AS (SELECT vec_id AS q_id, v AS qv FROM vq WHERE vec_id < {_SQ_N_QUERIES}),
+scored AS (
+  SELECT q.q_id, vq.vec_id,
+         ROUND(list_cosine_similarity(vq.v, q.qv), 4) AS cos_sim
+  FROM vq JOIN q ON vq.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_SQ_TOP_K}
+"""
+
+
+@query("q136_sq8_topk", oracle=_Q136_ORACLE, tags=("vector", "similarity", "EXT"))
+def q136_sq8_topk(spark, sf_dir):
+    """Cosine top-k over SCALAR-QUANTIZED embeddings (SQ8): each
+    dimension is mapped to an 8-bit code against per-dimension
+    [min, max] bounds, then scoring runs on the dequantized values —
+    q24's exact top-k semantics on a 4x-smaller index.
+
+    The codebook (64 mins + 64 maxs) is "trained" by one distributed
+    min/max aggregation and collected to the driver — the standard ANN
+    shape: codebook training is a tiny driver/broadcast artifact (at
+    100 TB it's trained on a sample and broadcast to executors), while
+    encode + scan stay map-only over the corpus. Quantize/dequantize
+    is pure IEEE double arithmetic (floor, no libm), so codes match
+    the SQL twin bit-for-bit; cosine keeps q24's 4dp-round contract.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    )
+    stats = (
+        dims.groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("d")
+        .collect()
+    )
+    mins = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    maxs = F.array(*[F.lit(float(r["mx"])) for r in stats])
+    vq = e.select(
+        "vec_id", V.sq8_dequantize("embedding", mins, maxs).alias("embedding")
+    )
+    q = vq.filter(F.col("vec_id") < _SQ_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return cosine_topk(vq, q, k=_SQ_TOP_K).select(
+        "q_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# q137: fixed-iteration PageRank on the customer–supplier graph.
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_TOP = 20
+
+
+def _pr_iter_sql(i: int, prev: str) -> str:
+    return f"""
+s{i} AS (
+  SELECT ed.dst AS node,
+         CAST(CAST(SUM(CAST(r.rank / deg.outdeg AS DECIMAL(24,14)))
+                   AS VARCHAR) AS DOUBLE) AS s
+  FROM ed JOIN {prev} r ON ed.src = r.node JOIN deg ON ed.src = deg.src
+  GROUP BY ed.dst
+),
+r{i} AS (
+  SELECT node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         + CAST(0.85 AS DOUBLE) * s AS rank
+  FROM s{i} CROSS JOIN nn
+)"""
+
+
+_Q137_ORACLE = (
+    """
+WITH cs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+ed AS (
+  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM cs
+  UNION ALL
+  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM cs
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / nn.n AS rank FROM deg CROSS JOIN nn),"""
+    + ",".join(_pr_iter_sql(i, f"r{i - 1}") for i in range(1, _PR_ITERS + 1))
+    + f"""
+SELECT node, rank FROM r{_PR_ITERS}
+ORDER BY rank DESC, node LIMIT {_PR_TOP}
+"""
+)
+
+
+@query("q137_pagerank", oracle=_Q137_ORACLE, tags=("graph", "join", "EXT"))
+def q137_pagerank(spark, sf_dir):
+    """Top-{20} nodes by 3-iteration PageRank (damping 0.85) over the
+    undirected customer–supplier purchase graph — the link-reputation
+    signal a crawl pipeline computes per domain to weight sources.
+
+    Edges come from one orders ⋈ lineitem join, deduplicated; the
+    graph is symmetrized so every node has outdegree >= 1 (no dangling
+    mass — ranks stay a probability distribution, asserted in tests).
+    Each iteration is one shuffle join + one hash agg via
+    operators.graph.pagerank; determinism is the decimal-share
+    discipline documented there, which is what makes the unrolled-CTE
+    DuckDB twin hash-match bit-for-bit without any rounding.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    ed = cs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).union(
+        cs.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+    )
+    pr = pagerank(ed, iters=_PR_ITERS, damping=0.85)
+    return pr.orderBy(F.desc("rank"), "node").limit(_PR_TOP)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from rds_glue_s3_etl_pipeline_spark.functions import text as X
@@ -387,3 +388,65 @@ def test_global_running_sum_empty_input(spark):
     out = global_running_sum(empty, ["doc_id"], value="n_chars", out_col="c")
     assert out.count() == 0
     assert "c" in out.columns
+
+
+def test_pagerank_symmetric_pair_and_star(spark):
+    """PageRank sanity on hand graphs: a symmetric 2-node graph stays
+    uniform; a 3-leaf star concentrates rank on the hub with total
+    rank mass conserved (the no-dangling-nodes contract)."""
+    from rds_glue_s3_etl_pipeline_spark.operators.graph import pagerank
+
+    pair = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(pair, iters=3).collect()}
+    assert ranks["a"] == pytest.approx(0.5, rel=1e-9)
+    assert ranks["b"] == pytest.approx(0.5, rel=1e-9)
+
+    star = spark.createDataFrame(
+        [("c", l) for l in ("l1", "l2", "l3")]
+        + [(l, "c") for l in ("l1", "l2", "l3")],
+        ["src", "dst"],
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank(star, iters=1).collect()}
+    # N=4, init 1/4: hub gets 3*(1/4)/1, each leaf (1/4)/3.
+    assert r1["c"] == pytest.approx(0.15 / 4 + 0.85 * 0.75, rel=1e-9)
+    assert r1["l1"] == pytest.approx(0.15 / 4 + 0.85 * 0.25 / 3, rel=1e-9)
+    assert sum(r1.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_sq8_dequantize_known_codes(spark):
+    """SQ8 round-trip on hand values: exact endpoints, the 0.5 midpoint
+    lands on code 128, and a constant dimension (max == min) passes
+    through unchanged instead of dividing by zero."""
+    from pyspark.sql import functions as F
+
+    from rds_glue_s3_etl_pipeline_spark.functions.vector import sq8_dequantize
+
+    df = spark.createDataFrame([([0.0, 0.5, 1.0, 3.0],)], "v array<double>")
+    mins = F.array(*[F.lit(x) for x in (0.0, 0.0, 0.0, 3.0)])
+    maxs = F.array(*[F.lit(x) for x in (1.0, 1.0, 1.0, 3.0)])
+    out = df.select(sq8_dequantize("v", mins, maxs).alias("d")).first()["d"]
+    assert out[0] == 0.0
+    assert out[1] == pytest.approx(128.0 / 255.0, abs=0)
+    assert out[2] == 1.0
+    assert out[3] == 3.0
+
+
+def test_bigram_lm_hand_computed(spark, tmp_path):
+    """q135 on a one-document corpus 'a b a b': add-one smoothing over
+    V=2 gives p(b|a)=3/4 twice and p(a|b)=2/3 once; the per-doc avg
+    NLL matches the closed form."""
+    import math
+
+    from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY
+
+    doc = spark.createDataFrame(
+        [(1, "a b a b", "en", "unit", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    doc.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    row = REGISTRY["q135_bigram_lm_score"].fn(spark, str(tmp_path)).first()
+    assert row["n_bigrams"] == 3
+    expected = (2 * -math.log(3 / 4) + -math.log(2 / 3)) / 3
+    assert row["avg_nll"] == pytest.approx(expected, rel=1e-6)
