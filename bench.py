@@ -61,6 +61,9 @@ HEADLINE = [
     "q132_incremental_vector_dedup",
     "q133_pretrain_export",
     "q134_corpus_mix_report",
+    "q135_bigram_lm_score",
+    "q136_sq8_topk",
+    "q137_pagerank",
 ]
 
 

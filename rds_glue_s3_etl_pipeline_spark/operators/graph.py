@@ -225,6 +225,16 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Attach outdegree to the edge list ONCE, hash-partitioned on src,
+    # and truncate lineage: each iteration then joins only the (much
+    # smaller) rank table against an already-partitioned static side —
+    # one join instead of two per round, and the edge side never
+    # re-shuffles (localCheckpoint preserves the output partitioning).
+    e_deg = (
+        e.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
     nodes = e.select(F.col("src").alias("node")).distinct()
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     teleport = 1.0 - damping  # IEEE double, bit-identical to the SQL twin
@@ -233,8 +243,7 @@ def pagerank(
     )
     for i in range(iters):
         shares = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("outdeg"))

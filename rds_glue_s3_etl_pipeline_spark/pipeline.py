@@ -17,7 +17,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
 
 from .notify import Notifier, NullNotifier, format_audit_message
 from .operators.merge import audit_summary, precedence_merge, unmatched_audit
@@ -99,9 +100,16 @@ def run_merge_pipeline(
         audit = {"total_unmatched": -1, "displayed_ids": [], "remaining_count": 0}
 
     # Stage 4: load (:200-211) + success notification (:213-215).
+    # The reference counts rows with a separate len(df) on the driver;
+    # a naive translation (write, then merged.count()) runs the whole
+    # merge plan TWICE. Observation rides the write job itself — the
+    # count arrives as a metric of the same action, zero extra passes.
+    obs = Observation("merge_metrics")
     try:
-        write_single_csv(merged, output_path)
-        n = merged.count()
+        write_single_csv(
+            merged.observe(obs, F.count(F.lit(1)).alias("rows")), output_path
+        )
+        n = obs.get["rows"]
         notifier.notify(f"SUCCESS: wrote {n} merged records to {output_path}")
         return PipelineResult(output_path=output_path, merged_rows=n, audit=audit)
     except Exception as e:

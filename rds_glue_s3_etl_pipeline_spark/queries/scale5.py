@@ -276,3 +276,127 @@ def q137_pagerank(spark, sf_dir):
     )
     pr = pagerank(ed, iters=_PR_ITERS, damping=0.85)
     return pr.orderBy(F.desc("rank"), "node").limit(_PR_TOP)
+
+
+# --------------------------------------------------------------------------
+# q138: deterministic hash-based dataset split (train/val/test).
+# --------------------------------------------------------------------------
+
+# Lowercase-hex md5 prefixes as split fences: 'e6' = 230/256 ≈ 89.8%
+# train, 'f3' = 13/256 ≈ 5.1% val, remainder test. String comparison on
+# lowercase hex is identical in every engine — no integer parsing, no
+# engine-specific hash function.
+_SPLIT_TRAIN_HI = "e6"
+_SPLIT_VAL_HI = "f3"
+
+_Q138_ORACLE = f"""
+SELECT doc_id,
+       SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+            WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_VAL_HI}' THEN 'val'
+            ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
+@query("q138_hash_split", oracle=_Q138_ORACLE, tags=("text", "etl", "EXT"))
+def q138_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by hashing the stable
+    document id — the reproducible-split primitive every training
+    pipeline needs (same doc lands in the same split on every run, on
+    any engine, regardless of row order or partitioning).
+
+    Map-only: scan → project, no shuffle, no state — the plan you want
+    for a 100 TB assignment pass. The split fences are lowercase-hex
+    md5 prefixes compared as strings, so the assignment is portable
+    across engines without integer-parsing hex (which SQL dialects
+    disagree on).
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < _SPLIT_TRAIN_HI, "train")
+        .when(bucket < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q139: sliding-window chunking with overlap (context-window prep).
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (16-token overlap)
+
+_Q139_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n
+  FROM documents
+),
+k AS (
+  SELECT doc_id, toks,
+         UNNEST(generate_series(
+           0,
+           CAST(GREATEST(0, FLOOR((n - {_CHUNK_W} + {_CHUNK_S} - 1) / {_CHUNK_S}.0)) AS BIGINT)
+         )) AS chunk_id
+  FROM t
+),
+c AS (
+  SELECT doc_id, chunk_id,
+         list_slice(toks, chunk_id * {_CHUNK_S} + 1,
+                    chunk_id * {_CHUNK_S} + {_CHUNK_W}) AS chunk
+  FROM k
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_S} AS BIGINT) AS start_tok,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM c
+"""
+
+
+@query("q139_chunk_overlap", oracle=_Q139_ORACLE, tags=("text", "etl", "EXT"))
+def q139_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunking with overlap ({64}-token windows,
+    {48}-token stride): the context-window preparation step for
+    training samples and RAG indexing. Every chunk gets a stable
+    (doc_id, chunk_id) identity and a content fingerprint.
+
+    Map-only + one generator: tokens stay an in-row array, chunk
+    starts come from `sequence`/explode, the chunk itself is an array
+    slice — no shuffle anywhere, so the pass is embarrassingly
+    parallel at any scale. The final partial chunk is kept (tail
+    tokens are never dropped); chunks are md5-fingerprinted so the
+    output stays narrow even with wide documents.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    max_k = F.greatest(
+        F.lit(0),
+        F.floor(
+            (n - F.lit(_CHUNK_W) + F.lit(_CHUNK_S) - F.lit(1))
+            / F.lit(float(_CHUNK_S))
+        ),
+    ).cast("int")
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), max_k)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W
+    )
+    return base.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * _CHUNK_S).cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

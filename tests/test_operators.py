@@ -450,3 +450,42 @@ def test_bigram_lm_hand_computed(spark, tmp_path):
     assert row["n_bigrams"] == 3
     expected = (2 * -math.log(3 / 4) + -math.log(2 / 3)) / 3
     assert row["avg_nll"] == pytest.approx(expected, rel=1e-6)
+
+
+def test_hash_split_deterministic_and_complete(spark, tmp_path):
+    """q138: every doc gets exactly one split, assignment depends only
+    on doc_id (md5('42') = 'a1d0...' -> bucket 'a1' -> train), and the
+    three splits cover the corpus."""
+    from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(42, "x", "en", "u", 1), (7, "y", "en", "u", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in REGISTRY["q138_hash_split"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[42] == ("a1", "train")
+    assert len(rows) == 2
+
+
+def test_chunk_overlap_windows(spark, tmp_path):
+    """q139 on a 100-token doc: two chunks (0-63 and 48-99), the second
+    carrying the 52-token tail; a short doc yields exactly one chunk."""
+    from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY
+
+    long_text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, long_text, "en", "u", len(long_text)), (2, "a b c", "en", "u", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["q139_chunk_overlap"].fn(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["start_tok"], r["n_tokens"]) for r in c1] == [(0, 64), (48, 52)]
+    assert [(r["start_tok"], r["n_tokens"]) for r in by_doc[2]] == [(0, 3)]
