@@ -64,6 +64,9 @@ HEADLINE = [
     "q135_bigram_lm_score",
     "q136_sq8_topk",
     "q137_pagerank",
+    "q138_hash_split",
+    "q139_chunk_overlap",
+    "q140_ivf_sq8_topk",
 ]
 
 

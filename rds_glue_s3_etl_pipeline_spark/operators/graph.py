@@ -199,6 +199,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the
     link-graph reputation signal web-corpus pipelines use to weight
@@ -219,24 +220,31 @@ def pagerank(
     fixed-iteration plan is expressible as unrolled SQL CTEs for the
     oracle.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedupe:
+        # Callers that already guarantee a distinct edge list (e.g. a
+        # symmetrized union of two disjoint orientations of a DISTINCT
+        # pair table) pass dedupe=False and skip this full shuffle.
+        e = e.distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Attach outdegree to the edge list ONCE, hash-partitioned on src,
     # and truncate lineage: each iteration then joins only the (much
     # smaller) rank table against an already-partitioned static side —
     # one join instead of two per round, and the edge side never
     # re-shuffles (localCheckpoint preserves the output partitioning).
+    # This is the single materialization of the operator; everything
+    # node-shaped (nodes, N, degrees) derives from it for free.
     e_deg = (
         e.join(deg, "src")
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nodes = e_deg.select(F.col("src").alias("node")).distinct()
+    # One row; checkpointed so the teleport term in every iteration
+    # reads a constant instead of re-counting distinct nodes.
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint(
+        eager=True
+    )
     teleport = 1.0 - damping  # IEEE double, bit-identical to the SQL twin
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")

@@ -222,23 +222,30 @@ r{i} AS (
 )"""
 
 
+# Node encoding: customers on even longs (custkey*2), suppliers on odd
+# (suppkey*2+1) — iterate on 8-byte keys, render labels only for the
+# final top-k. The human-readable label is derived identically on both
+# engines.
 _Q137_ORACLE = (
     """
 WITH cs AS (
-  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
 ed AS (
-  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM cs
+  SELECT c AS src, s AS dst FROM cs
   UNION ALL
-  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM cs
+  SELECT s AS src, c AS dst FROM cs
 ),
 deg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
 r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / nn.n AS rank FROM deg CROSS JOIN nn),"""
     + ",".join(_pr_iter_sql(i, f"r{i - 1}") for i in range(1, _PR_ITERS + 1))
     + f"""
-SELECT node, rank FROM r{_PR_ITERS}
+SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+       rank
+FROM r{_PR_ITERS}
 ORDER BY rank DESC, node LIMIT {_PR_TOP}
 """
 )
@@ -253,6 +260,9 @@ def q137_pagerank(spark, sf_dir):
     Edges come from one orders ⋈ lineitem join, deduplicated; the
     graph is symmetrized so every node has outdegree >= 1 (no dangling
     mass — ranks stay a probability distribution, asserted in tests).
+    Nodes are integer-encoded (even = customer, odd = supplier) so the
+    iterated joins shuffle 8-byte keys; labels render only for the
+    final top-k rows.
     Each iteration is one shuffle join + one hash agg via
     operators.graph.pagerank; determinism is the decimal-share
     discipline documented there, which is what makes the unrolled-CTE
@@ -262,20 +272,36 @@ def q137_pagerank(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
-        .select("o_custkey", "l_suppkey")
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
         .distinct()
+        # Materialize the pair table once: the symmetrizing union below
+        # references it twice, and without this the orders ⋈ lineitem
+        # join + distinct would execute twice (no exchange reuse across
+        # the union branches).
+        .localCheckpoint(eager=True)
     )
-    ed = cs.select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).union(
-        cs.select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    ed = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    # The two union branches are disjoint orientations of a distinct
+    # pair table — the edge list is distinct by construction.
+    pr = pagerank(ed, iters=_PR_ITERS, damping=0.85, dedupe=False)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")
         )
     )
-    pr = pagerank(ed, iters=_PR_ITERS, damping=0.85)
-    return pr.orderBy(F.desc("rank"), "node").limit(_PR_TOP)
+    return (
+        pr.select(label.alias("node"), "rank")
+        .orderBy(F.desc("rank"), "node")
+        .limit(_PR_TOP)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -399,4 +425,142 @@ def q139_chunk_overlap(spark, sf_dir):
         (F.col("chunk_id") * _CHUNK_S).cast("long").alias("start_tok"),
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q140: IVF + SQ8 — the production ANN composite (asymmetric distance).
+# --------------------------------------------------------------------------
+
+_IVF_CENTROIDS = 32
+
+_Q140_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT vec_id, GENERATE_SUBSCRIPTS(v, 1) AS d, UNNEST(v) AS x FROM e
+),
+mm AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY d),
+deq AS (
+  SELECT dims.vec_id, dims.d,
+         CASE WHEN mm.mx = mm.mn THEN mm.mn
+              ELSE mm.mn + (FLOOR(((dims.x - mm.mn) / (mm.mx - mm.mn)) * 255.0 + 0.5)
+                            * (mm.mx - mm.mn)) / 255.0
+         END AS val
+  FROM dims JOIN mm ON dims.d = mm.d
+),
+vq AS (SELECT vec_id, LIST(val ORDER BY d) AS v FROM deq GROUP BY vec_id),
+cent AS (
+  SELECT vec_id AS c_id, v AS cv FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                       c.c_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qa AS (
+  SELECT q.vec_id AS q_id, q.v AS qv, a.c_id
+  FROM e q JOIN assign a ON a.vec_id = q.vec_id
+  WHERE q.vec_id < {_SQ_N_QUERIES}
+),
+cand AS (
+  SELECT qa.q_id, vq.vec_id,
+         ROUND(list_cosine_similarity(vq.v, qa.qv), 4) AS cos_sim
+  FROM qa
+  JOIN assign a ON a.c_id = qa.c_id
+  JOIN vq ON vq.vec_id = a.vec_id
+  WHERE vq.vec_id <> qa.q_id
+)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM cand
+) WHERE rank <= {_SQ_TOP_K}
+"""
+
+
+@query("q140_ivf_sq8_topk", oracle=_Q140_ORACLE, tags=("vector", "similarity", "EXT"))
+def q140_ivf_sq8_topk(spark, sf_dir):
+    """IVF coarse partitioning + SQ8-compressed storage — composed
+    exactly as a production ANN index (FAISS IVF-SQ shape): vectors
+    are assigned to their nearest coarse centroid at full precision,
+    STORED 8-bit quantized, and probed asymmetrically (the query keeps
+    its raw vector, candidates score on dequantized codes) within the
+    query's cell only.
+
+    Search cost per query is O(N/#cells) over a 4x-smaller index; both
+    index-build passes (assignment, quantization) are map-only over
+    the corpus with broadcast codebooks. Deterministic codebooks (q59's
+    md5-ordered centroid pick, q136's min/max bounds) keep the whole
+    composite oracle-checkable — swapping trained k-means centroids in
+    changes only the codebook tables, not the query shape.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # SQ8 codebook + dequantized storage view (q136).
+    dims = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    )
+    stats = (
+        dims.groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("d")
+        .collect()
+    )
+    mins = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    maxs = F.array(*[F.lit(float(r["mx"])) for r in stats])
+    vq = e.select(
+        "vec_id", V.sq8_dequantize("embedding", mins, maxs).alias("dv")
+    )
+    # IVF coarse codebook + full-precision assignment (q59).
+    cent = (
+        e.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+        )
+        .limit(_IVF_CENTROIDS)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("c_id"),
+        F.round(V.cosine(F.col("embedding"), F.col("cv")), 4).alias("c_cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("c_id")
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c_id")
+    )
+    qa = (
+        e.join(assign, "vec_id")
+        .filter(F.col("vec_id") < _SQ_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            "c_id",
+        )
+    )
+    cand = (
+        vq.join(assign, "vec_id")
+        .join(F.broadcast(qa), "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(V.cosine(F.col("dv"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= _SQ_TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rank")
     )
