@@ -67,6 +67,7 @@ HEADLINE = [
     "q138_hash_split",
     "q139_chunk_overlap",
     "q140_ivf_sq8_topk",
+    "q141_compression_ratio",
 ]
 
 

