@@ -110,3 +110,108 @@ def lsh_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Spherical k-means (Lloyd) — the trainer behind a real IVF codebook.
+# --------------------------------------------------------------------------
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine similarity
+    (broadcast codebook, one map-side pass — no shuffle until the
+    per-vector argmax window).
+
+    Determinism discipline (shared with queries.vector2 q59): the
+    cosine is rounded to 4dp BEFORE the argmax and ties break on the
+    centroid id, so a 1-ulp float wobble can never flip an assignment
+    between engines or between runs.
+
+    Returns (id_col, vec_col, c_id, cos_sim) with exactly one row per
+    input vector.
+    """
+    scored = embeddings.crossJoin(
+        F.broadcast(centroids.select("c_id", "cv"))
+    ).select(
+        id_col,
+        vec_col,
+        "c_id",
+        F.round(V.cosine(F.col(vec_col), F.col("cv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_update(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recompute centroids as the per-dimension mean of each cell's
+    members (one Lloyd update). Cells that lost every member disappear
+    (the standard empty-cell policy; the codebook may shrink).
+
+    The mean is made bit-reproducible across engines and shuffle
+    orders: each component is rounded to 6dp (a double both engines
+    agree on), cast to DECIMAL — exact, because a 6dp-rounded double's
+    shortest decimal form IS its 6dp value — summed exactly, re-entered
+    into DOUBLE via the string hop (queries.registry.dsum rationale),
+    and divided by the member count in double. Distributed reduce
+    order therefore cannot change a centroid bit.
+
+    Returns (c_id, cv: array<double>).
+    """
+    from ..queries.registry import DEC
+
+    ex = assigned.select(
+        "c_id",
+        F.posexplode(V.as_double_array(vec_col)).alias("d", "x"),
+    )
+    upd = ex.groupBy("c_id", "d").agg(
+        (
+            F.sum(F.round(F.col("x"), 6).cast(DEC)).cast("string").cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return upd.groupBy("c_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+
+
+def spherical_kmeans(
+    embeddings: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration spherical k-means: ``iters`` rounds of
+    cosine-assignment + mean-update starting from ``init_centroids``
+    (c_id, cv), returning the final ASSIGNMENT
+    (id_col, vec_col, c_id, cos_sim).
+
+    Per iteration: one broadcast cross-join pass over the corpus (the
+    assignment — map-only scoring, k rows broadcast) plus two hash
+    aggregations bounded by k x dim (the update). The codebook is
+    localCheckpoint'd every round — it is k rows, so materializing it
+    truncates the otherwise-multiplying lineage for free. This is the
+    trainer that replaces q59's seedless sample codebook with actual
+    cluster centers; assignment cost stays O(N x k) per round with k a
+    FIXED constant, the property the 10x scale probe demands of every
+    ANN build stage.
+    """
+    cent = init_centroids
+    for _ in range(iters):
+        assigned = kmeans_assign(embeddings, cent, id_col, vec_col)
+        cent = kmeans_update(assigned, vec_col).localCheckpoint(eager=True)
+    return kmeans_assign(embeddings, cent, id_col, vec_col)

@@ -1,0 +1,380 @@
+"""Fourth vector/similarity batch — the trained-codebook ANN stack and
+its quality gate, plus sparse (TF-IDF) document similarity:
+
+* q142: spherical k-means (Lloyd) refined IVF assignment — replaces
+  q59's seedless sample codebook with actual cluster centers, trained
+  by fixed-iteration distributed Lloyd rounds.
+* q143: SemDeDup-style semantic dedup (Abbas et al. 2023, public
+  paper): near-duplicate SEMANTIC pairs are found only within a
+  k-means cell, clustered, and one survivor kept per group.
+* q144: sparse TF-IDF cosine similarity join via an inverted index
+  with a document-frequency cap — the classic all-pairs-similarity
+  shape (term-at-a-time, candidates only where terms are shared).
+* q145: recall@k of the IVF path (q59) against the exact brute-force
+  top-k (q24) — "measure, don't guess" for the ANN approximation.
+
+Every query carries a full DuckDB oracle; the k-means iterations are
+unrolled into CTEs exactly like q137's PageRank rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import vector as V
+from ..operators.graph import connected_components_star
+from ..operators.similarity import spherical_kmeans
+from .registry import query
+
+# --------------------------------------------------------------------------
+# q142: k-means-refined IVF assignment.
+# --------------------------------------------------------------------------
+
+_KM_K = 16
+_KM_ITERS = 2
+
+
+def _km_ctes(k: int, iters: int) -> str:
+    """Unrolled Lloyd rounds as DuckDB CTEs (the q137 pattern): each
+    round is one assignment (argmax cosine, 4dp-rounded, c_id
+    tie-break) and one mean update (6dp-rounded components, exact
+    decimal sum, string-hop back to double, double division by the
+    member count) — the same determinism discipline as the Spark side,
+    so the final assignment hash-matches bit for bit."""
+    parts = [
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e),
+cent0 AS (
+  SELECT vec_id AS c_id, v AS cv FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+)"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"""assign{i} AS (
+  SELECT vec_id, c_id, cos_sim FROM (
+    SELECT e.vec_id, c.c_id,
+           ROUND(list_cosine_similarity(e.v, c.cv), 4) AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                       c.c_id) AS rn
+    FROM e CROSS JOIN cent{i} c
+  ) WHERE rn = 1
+)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""upd{i + 1} AS (
+  SELECT a.c_id, ex.d,
+         CAST(CAST(SUM(CAST(ROUND(ex.x, 6) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM assign{i} a JOIN ex ON ex.vec_id = a.vec_id
+  GROUP BY a.c_id, ex.d
+),
+cent{i + 1} AS (SELECT c_id, list(m ORDER BY d) AS cv FROM upd{i + 1} GROUP BY c_id)"""
+            )
+    return ",\n".join(parts)
+
+
+_Q142_ORACLE = f"""
+WITH {_km_ctes(_KM_K, _KM_ITERS)}
+SELECT vec_id, c_id, cos_sim FROM assign{_KM_ITERS}
+"""
+
+
+def _init_centroids(e):
+    """q59's seedless pseudo-random codebook: the first k vectors in
+    md5(vec_id) order — deterministic on any engine, no RNG state."""
+    return (
+        e.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+        )
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    )
+
+
+@query("q142_kmeans_ivf", oracle=_Q142_ORACLE, tags=("vector", "similarity", "EXT"))
+def q142_kmeans_ivf(spark, sf_dir):
+    """IVF assignment against a TRAINED codebook: {_KM_ITERS} rounds of
+    distributed spherical k-means (Lloyd) refine q59's sample codebook
+    into actual cluster centers, then every vector is assigned to its
+    nearest center.
+
+    Per round: one broadcast-codebook scoring pass over the corpus
+    (map-only, k rows broadcast, no shuffle before the per-vector
+    argmax) and two hash aggregations bounded by k x dim for the mean
+    update — the cost profile that trains a codebook on 100 TB without
+    ever shuffling the corpus. Assignment cosines round to 4dp before
+    the argmax and centroid means use the exact-decimal discipline
+    (operators.similarity.kmeans_update), so the unrolled-CTE DuckDB
+    twin reproduces the final assignment bit for bit.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS)
+    return assigned.select("vec_id", "c_id", "cos_sim")
+
+
+# --------------------------------------------------------------------------
+# q143: SemDeDup — semantic dedup within k-means cells.
+# --------------------------------------------------------------------------
+
+_SEM_THRESHOLD = 0.3
+
+_Q143_ORACLE = f"""
+WITH RECURSIVE {_km_ctes(_KM_K, _KM_ITERS)},
+fin AS (SELECT * FROM assign{_KM_ITERS}),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= {_SEM_THRESHOLD}
+),
+sym AS (
+  SELECT va AS a, vb AS b FROM pairs
+  UNION
+  SELECT vb, va FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cl AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
+members AS (
+  SELECT cl.cluster_id, cl.vec_id, f.cos_sim AS cent_cos
+  FROM cl JOIN fin f ON f.vec_id = cl.vec_id
+)
+SELECT m.cluster_id, m.vec_id AS kept_vec_id, m.cent_cos AS kept_cent_cos,
+       s.n_members
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY cent_cos ASC, vec_id) AS rn
+      FROM members) m
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM members GROUP BY cluster_id) s USING (cluster_id)
+WHERE m.rn = 1
+"""
+
+
+@query("q143_semantic_dedup", oracle=_Q143_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
+def q143_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs are
+    proposed ONLY within a k-means cell (the learned blocking — never
+    an all-pairs join), clustered by star contraction, and one survivor
+    kept per group: the member LEAST similar to its centroid (the
+    paper's keep-the-outlier policy; 4dp cosine, vec_id tie-break).
+    Only genuine dup groups (>= 2 members) are emitted — the rows a
+    pruning pass acts on.
+
+    Scale: cell population is corpus/k on average, so the within-cell
+    self-join is quadratic only in the CELL, not the corpus (and a
+    per-cell cap or re-clustering handles pathological cells);
+    contraction rounds are diameter-independent; the survivor pick
+    windows over by-construction-small groups.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fin = spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS)
+    a = fin.select("vec_id", "c_id", "embedding").alias("a")
+    b = fin.select("vec_id", "c_id", "embedding").alias("b")
+    cos = F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_id") == F.col("b.c_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEM_THRESHOLD)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    )
+    cl = connected_components_star(pairs, src="va", dst="vb").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    members = cl.join(
+        fin.select("vec_id", F.col("cos_sim").alias("cent_cos")), "vec_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cent_cos").asc(), F.col("vec_id").asc()
+    )
+    kept = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("kept_vec_id"),
+            F.col("cent_cos").alias("kept_cent_cos"),
+        )
+    )
+    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return kept.join(sizes, "cluster_id").select(
+        "cluster_id", "kept_vec_id", "kept_cent_cos", "n_members"
+    )
+
+
+# --------------------------------------------------------------------------
+# q144: sparse TF-IDF cosine pairs via inverted-index join.
+# --------------------------------------------------------------------------
+
+_SC_DF_CAP = 60
+_SC_THRESHOLD = 0.35
+
+_Q144_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, tok,
+         CAST(ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS DECIMAL(18,6)) AS wq
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+  WHERE df <= {_SC_DF_CAP}
+),
+nrm AS (
+  SELECT doc_id, sqrt(CAST(CAST(SUM(wq * wq) AS VARCHAR) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc_id
+),
+dp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(CAST(SUM(a.wq * b.wq) AS VARCHAR) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, cos_sim FROM (
+  SELECT dp.doc_a, dp.doc_b,
+         ROUND(dp.dot / (na.nrm * nb.nrm), 4) AS cos_sim
+  FROM dp
+  JOIN nrm na ON na.doc_id = dp.doc_a
+  JOIN nrm nb ON nb.doc_id = dp.doc_b
+) WHERE cos_sim >= {_SC_THRESHOLD}
+"""
+
+
+@query("q144_sparse_cosine_pairs", oracle=_Q144_ORACLE, tags=("text", "similarity", "EXT"))
+def q144_sparse_cosine_pairs(spark, sf_dir):
+    """All-pairs sparse-vector similarity: documents as TF-IDF vectors,
+    pair cosine computed through an INVERTED-INDEX join — candidate
+    pairs exist only where a term is shared, never corpus².
+
+    The document-frequency cap (df <= {_SC_DF_CAP}) is load-bearing at
+    scale: a term in k documents fans out to k² join rows, so frequent
+    terms are both a skew bomb and ~zero IDF signal — dropping them
+    bounds the per-term fan-out (the q126 hot-shingle lesson applied to
+    sparse similarity; prefix/length filtering is the further 100 TB
+    refinement). Weights are 6dp-rounded then decimal-exact (the dot
+    product and norms sum decimals, re-entering double via the string
+    hop), so pair cosines are reduce-order-independent and match the
+    SQL twin bit for bit.
+    """
+    from ..functions import text as X
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .filter(F.col("df") <= _SC_DF_CAP)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("wq"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.col("wq") * F.col("wq")).cast("string").cast("double")
+        ).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dp = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.wq") * F.col("b.wq"))
+            .cast("string")
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dp.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SC_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# q145: ANN recall@k — IVF (q59) measured against exact top-k (q24).
+# --------------------------------------------------------------------------
+
+from .vector import _Q24_ORACLE, _TOP_K  # noqa: E402
+from .vector2 import _Q59_ORACLE  # noqa: E402
+
+_Q145_ORACLE = f"""
+WITH ivf AS (SELECT q_id, vec_id FROM ({_Q59_ORACLE})),
+exact AS (SELECT q_id, vec_id FROM ({_Q24_ORACLE})),
+hits AS (
+  SELECT e.q_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN ivf i ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+  GROUP BY e.q_id
+)
+SELECT q_id, n_hits, n_hits / {float(_TOP_K)} AS recall FROM hits
+"""
+
+
+@query("q145_ann_recall", oracle=_Q145_ORACLE, tags=("vector", "similarity", "EXT"))
+def q145_ann_recall(spark, sf_dir):
+    """Recall@{_TOP_K} of the IVF path (q59, nprobe=1) against the
+    exact brute-force top-k (q24), per query — the quality gate every
+    ANN deployment ships next to its index build ("measure, don't
+    guess": an approximate index without a measured recall number is
+    a guess).
+
+    Both sides are the already-verified queries composed as-is; the
+    recall division is exact in double (small-int / small-int). At
+    100 TB the exact side runs on a fixed query SAMPLE (it is the
+    expensive O(N) scan), which is precisely what this query shape is:
+    a bounded query set joined against both result sets.
+    """
+    from .vector import q24_cosine_topk
+    from .vector2 import q59_ivf_topk
+
+    ivf = q59_ivf_topk(spark, sf_dir).select("q_id", "vec_id", F.lit(1).alias("hit"))
+    exact = q24_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        exact.join(ivf, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_hits"))
+    )
+    return hits.select(
+        "q_id",
+        "n_hits",
+        (F.col("n_hits") / F.lit(float(_TOP_K))).alias("recall"),
+    )

@@ -593,3 +593,87 @@ def test_chunk_overlap_covers_every_token(spark, tmp_path):
         assert covered == set(range(n)), f"doc len {n} not fully covered"
         starts = sorted(r["start_tok"] for r in by_doc[i])
         assert all(b - a == _CHUNK_S for a, b in zip(starts, starts[1:]))
+
+
+def test_kmeans_hand_computed_two_clusters(spark):
+    """Two obvious groups on the unit circle: Lloyd from adversarial
+    seeds (both inits inside one group) still separates the groups
+    after one round, and the update step's centroid is the exact
+    per-dimension mean of its members."""
+    from rds_glue_s3_etl_pipeline_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_update,
+        spherical_kmeans,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.96, 0.28]),
+        (2, [0.0, 1.0]),
+        (3, [0.28, 0.96]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.96, 0.28])], "c_id long, cv array<double>"
+    )
+    fin = spherical_kmeans(e, init, iters=2)
+    got = {r["vec_id"]: r["c_id"] for r in fin.collect()}
+    # vectors 0/1 share one cell, 2/3 the other
+    assert got[0] == got[1] and got[2] == got[3] and got[0] != got[2]
+
+    # the update is the exact mean of the members it was handed
+    assigned = kmeans_assign(e, init)
+    cents = {r["c_id"]: r["cv"] for r in kmeans_update(assigned).collect()}
+    members = {r["c_id"]: [] for r in assigned.collect()}
+    for r in assigned.collect():
+        members[r["c_id"]].append(r["embedding"])
+    for cid, vecs in members.items():
+        want = [round(sum(round(v[d], 6) for v in vecs), 8) / len(vecs) for d in range(2)]
+        assert cents[cid] == pytest.approx(want, abs=1e-9)
+
+
+def test_kmeans_empty_cell_drops(spark):
+    """A centroid that attracts no vectors disappears from the updated
+    codebook (the documented empty-cell policy)."""
+    from rds_glue_s3_etl_pipeline_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_update,
+    )
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.02])], "vec_id long, embedding array<double>"
+    )
+    init = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])], "c_id long, cv array<double>"
+    )
+    cents = kmeans_update(kmeans_assign(e, init)).collect()
+    assert [r["c_id"] for r in cents] == [0]
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    """recall@k is in [0, 1] for every query and n_hits never exceeds
+    k — and the IVF result is a subset of its own cell, so recall 1.0
+    means the exact top-k all share the query's cell."""
+    from rds_glue_s3_etl_pipeline_spark.queries.vector import _TOP_K
+    from rds_glue_s3_etl_pipeline_spark.queries.vector3 import q145_ann_recall
+
+    rows = q145_ann_recall(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_hits"] <= _TOP_K
+        assert r["recall"] == pytest.approx(r["n_hits"] / _TOP_K)
+
+
+def test_semantic_dedup_groups_are_real_groups(spark, sf_dir):
+    """Every emitted SemDeDup group has >= 2 members, the survivor is a
+    member of its own cluster, and survivors are unique per cluster."""
+    from rds_glue_s3_etl_pipeline_spark.queries.vector3 import q143_semantic_dedup
+
+    rows = q143_semantic_dedup(spark, sf_dir).collect()
+    assert rows, "fixture should contain at least one semantic dup group"
+    seen = set()
+    for r in rows:
+        assert r["n_members"] >= 2
+        assert r["cluster_id"] not in seen
+        seen.add(r["cluster_id"])
+        assert r["kept_vec_id"] >= r["cluster_id"]  # cluster_id is the min member
