@@ -68,6 +68,10 @@ HEADLINE = [
     "q139_chunk_overlap",
     "q140_ivf_sq8_topk",
     "q141_compression_ratio",
+    "q142_kmeans_ivf",
+    "q143_semantic_dedup",
+    "q144_sparse_cosine_pairs",
+    "q145_ann_recall",
 ]
 
 

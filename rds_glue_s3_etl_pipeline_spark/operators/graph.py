@@ -200,6 +200,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 4,
     dedupe: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the
     link-graph reputation signal web-corpus pipelines use to weight
@@ -228,17 +229,16 @@ def pagerank(
         e = e.distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Attach outdegree to the edge list ONCE, hash-partitioned on src,
-    # and truncate lineage: each iteration then joins only the (much
-    # smaller) rank table against an already-partitioned static side —
-    # one join instead of two per round, and the edge side never
-    # re-shuffles (localCheckpoint preserves the output partitioning).
-    # This is the single materialization of the operator; everything
-    # node-shaped (nodes, N, degrees) derives from it for free.
-    e_deg = (
-        e.join(deg, "src")
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
+    # and CACHE it (persist, not localCheckpoint: a checkpointed RDD
+    # comes back as an ExistingRDD with UnknownPartitioning — the plan
+    # audit caught every iteration silently re-exchanging the full
+    # edge list on src; persist keeps the repartition("src") node in
+    # the logical plan, so Catalyst knows the edge side is already
+    # hash-partitioned and never shuffles it again). This is the
+    # single materialization of the operator; everything node-shaped
+    # (nodes, N, degrees) derives from it for free.
+    e_deg = e.join(deg, "src").repartition("src").persist()
+    e_deg.count()  # materialize the cache before iterating
     nodes = e_deg.select(F.col("src").alias("node")).distinct()
     # One row; checkpointed so the teleport term in every iteration
     # reads a constant instead of re-counting distinct nodes.
@@ -250,8 +250,18 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for i in range(iters):
+        # The rank table is O(nodes): tiny next to the edge list on a
+        # dimension-scale graph (broadcast_ranks=True — map-only join,
+        # the only exchange per round is the small post-agg one), but
+        # NOT broadcastable on a web-scale graph where nodes are
+        # billions — there the default co-partitioned shuffle join is
+        # the survivable plan (edge side pre-partitioned on src, only
+        # the rank table moves).
+        rank_side = ranks.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_side)
         shares = (
-            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            e_deg.join(rank_side, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("outdeg"))

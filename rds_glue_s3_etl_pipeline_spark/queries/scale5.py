@@ -288,7 +288,10 @@ def q137_pagerank(spark, sf_dir):
     )
     # The two union branches are disjoint orientations of a distinct
     # pair table — the edge list is distinct by construction.
-    pr = pagerank(ed, iters=_PR_ITERS, damping=0.85, dedupe=False)
+    # The node population here is customers+suppliers — dimension-
+    # scale, so the per-iteration rank table broadcasts (see the
+    # operator's scale note for when it must not).
+    pr = pagerank(ed, iters=_PR_ITERS, damping=0.85, dedupe=False, broadcast_ranks=True)
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),

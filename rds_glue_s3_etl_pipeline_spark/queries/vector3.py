@@ -176,10 +176,25 @@ def q143_semantic_dedup(spark, sf_dir):
     windows over by-construction-small groups.
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    fin = spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS)
-    a = fin.select("vec_id", "c_id", "embedding").alias("a")
-    b = fin.select("vec_id", "c_id", "embedding").alias("b")
-    cos = F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+    # Materialize the assignment once: it feeds the pair self-join
+    # (twice) AND the survivor pick — without this the whole iterative
+    # k-means plan re-executes per consumer.
+    fin = (
+        spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS)
+        # Precompute each vector's norm ONCE: the pair cosine below is
+        # then a single dot-product fold per pair instead of three
+        # (dot + both norms) — same doubles, same operation order, so
+        # bit-identical to V.cosine.
+        .withColumn("nrm", V.norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
+    )
+    a = fin.select("vec_id", "c_id", "embedding", "nrm").alias("a")
+    b = fin.select("vec_id", "c_id", "embedding", "nrm").alias("b")
+    cos = F.round(
+        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
     pairs = (
         a.join(
             b,
