@@ -72,6 +72,7 @@ HEADLINE = [
     "q143_semantic_dedup",
     "q144_sparse_cosine_pairs",
     "q145_ann_recall",
+    "q146_pq_topk",
 ]
 
 

@@ -43,8 +43,15 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # Persist partitioned on the join key (b == labels.id): persist,
+        # not localCheckpoint, keeps the repartition node visible to
+        # Catalyst (a checkpointed RDD reports UnknownPartitioning), so
+        # the static edge side is shuffled ONCE here and every
+        # propagation round moves only the small label table.
+        .repartition("b")
+        .persist()
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym.count()  # materialize before iterating
 
     labels = (
         sym.select(F.col("a").alias("id"))

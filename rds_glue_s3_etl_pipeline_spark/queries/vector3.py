@@ -393,3 +393,157 @@ def q145_ann_recall(spark, sf_dir):
         "n_hits",
         (F.col("n_hits") / F.lit(float(_TOP_K))).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# q146: Product Quantization (PQ) top-k with ADC scoring.
+# --------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces
+_PQ_DSUB = 8       # dims per subspace (M * DSUB = 64)
+_PQ_KSUB = 16      # codes per subspace
+_PQ_N_QUERIES = 8
+_PQ_TOP_K = 5
+
+_Q146_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS c_id, v FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_KSUB}
+),
+ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+subs AS (
+  SELECT vec_id, m, list_slice(v, m * {_PQ_DSUB} + 1, m * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+  FROM e CROSS JOIN ms
+),
+csubs AS (
+  SELECT c_id, m, list_slice(v, m * {_PQ_DSUB} + 1, m * {_PQ_DSUB} + {_PQ_DSUB}) AS cv
+  FROM cent CROSS JOIN ms
+),
+enc AS (
+  SELECT vec_id, m, c_id AS code FROM (
+    SELECT s.vec_id, s.m, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY ROUND(list_distance(s.sv, c.cv), 4), c.c_id) AS rn
+    FROM subs s JOIN csubs c ON c.m = s.m
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS q_id, c.m, c.c_id AS code,
+         CAST(ROUND(list_inner_product(
+           list_slice(q.v, c.m * {_PQ_DSUB} + 1, c.m * {_PQ_DSUB} + {_PQ_DSUB}), c.cv), 6)
+           AS DECIMAL(18,6)) AS part
+  FROM e q CROSS JOIN csubs c
+  WHERE q.vec_id < {_PQ_N_QUERIES}
+),
+scored AS (
+  SELECT l.q_id, enc.vec_id,
+         ROUND(CAST(CAST(SUM(l.part) AS VARCHAR) AS DOUBLE), 4) AS adc_score
+  FROM enc JOIN lut l ON l.m = enc.m AND l.code = enc.code
+  WHERE enc.vec_id <> l.q_id
+  GROUP BY l.q_id, enc.vec_id
+)
+SELECT q_id, vec_id, adc_score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT q_id, vec_id, adc_score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc_score DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {_PQ_TOP_K}
+"""
+
+
+@query("q146_pq_topk", oracle=_Q146_ORACLE, tags=("vector", "similarity", "EXT"))
+def q146_pq_topk(spark, sf_dir):
+    """Product-quantized ANN with asymmetric distance computation
+    (ADC): vectors are split into {_PQ_M} subspaces of {_PQ_DSUB} dims,
+    each subvector encoded as its nearest sub-centroid (L2, the
+    classic PQ build), and queries score candidates by summing
+    per-subspace inner products looked up from a per-query table —
+    the index stores {_PQ_M} bytes per vector instead of 64 floats
+    (32x compression, vs SQ8's 4x in q136).
+
+    Scale shape: the codebook ({_PQ_KSUB} x {_PQ_M} subvectors) and
+    the per-query LUT ({_PQ_N_QUERIES} x {_PQ_M} x {_PQ_KSUB} rows)
+    are broadcast artifacts; encoding is one map-side pass over the
+    corpus; scoring is a broadcast-LUT join + hash aggregate grouped
+    by (query, vector) — no shuffle grows with corpus size except the
+    final bounded top-k. The sample codebook is the deterministic
+    stand-in for a per-subspace k-means (swap in
+    operators.similarity.spherical_kmeans per subspace to train);
+    ADC parts round to 6dp and sum exactly in decimal, so the SQL
+    twin reproduces every score bit for bit.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = (
+        e.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+        )
+        .limit(_PQ_KSUB)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("v"))
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    subs = e.select("vec_id", ms, "embedding").select(
+        "vec_id",
+        "m",
+        F.slice(
+            V.as_double_array("embedding"), F.col("m") * _PQ_DSUB + 1, _PQ_DSUB
+        ).alias("sv"),
+    )
+    csubs = cent.select("c_id", ms, "v").select(
+        "c_id",
+        "m",
+        F.slice(V.as_double_array("v"), F.col("m") * _PQ_DSUB + 1, _PQ_DSUB).alias(
+            "cv"
+        ),
+    )
+    dist = F.round(F.sqrt(V.l2_distance_sq(F.col("sv"), F.col("cv"))), 4)
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("dist"), F.asc("c_id")
+    )
+    enc = (
+        subs.join(F.broadcast(csubs), "m")
+        .select("vec_id", "m", "c_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("c_id").alias("code"))
+    )
+    q = e.filter(F.col("vec_id") < _PQ_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    lut = (
+        q.crossJoin(F.broadcast(csubs))
+        .select(
+            "q_id",
+            "m",
+            F.col("c_id").alias("code"),
+            F.round(
+                V.dot(
+                    F.slice(
+                        V.as_double_array("qv"), F.col("m") * _PQ_DSUB + 1, _PQ_DSUB
+                    ),
+                    F.col("cv"),
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("part"),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum("part").cast("string").cast("double"), 4
+            ).alias("adc_score")
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.desc("adc_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOP_K)
+        .select("q_id", "vec_id", "adc_score", "rank")
+    )

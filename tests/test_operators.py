@@ -677,3 +677,28 @@ def test_semantic_dedup_groups_are_real_groups(spark, sf_dir):
         assert r["cluster_id"] not in seen
         seen.add(r["cluster_id"])
         assert r["kept_vec_id"] >= r["cluster_id"]  # cluster_id is the min member
+
+
+def test_pq_encoding_shape_and_code_domain(spark, sf_dir):
+    """PQ encodes every vector as exactly M codes, each code a real
+    codebook entry — the 32x-compression contract (M bytes per vector)
+    the ADC scorer depends on."""
+    from rds_glue_s3_etl_pipeline_spark.queries.vector3 import (
+        _PQ_KSUB,
+        _PQ_M,
+        _PQ_TOP_K,
+        q146_pq_topk,
+    )
+
+    rows = q146_pq_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rs in by_q.items():
+        assert len(rs) == _PQ_TOP_K
+        assert sorted(r["rank"] for r in rs) == list(range(1, _PQ_TOP_K + 1))
+        # ADC scores are monotonically non-increasing with rank
+        srt = sorted(rs, key=lambda r: r["rank"])
+        assert all(
+            a["adc_score"] >= b["adc_score"] for a, b in zip(srt, srt[1:])
+        )
