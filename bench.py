@@ -73,6 +73,7 @@ HEADLINE = [
     "q144_sparse_cosine_pairs",
     "q145_ann_recall",
     "q146_pq_topk",
+    "q147_ivf_trained_topk",
 ]
 
 

@@ -547,3 +547,75 @@ def q146_pq_topk(spark, sf_dir):
         .filter(F.col("rank") <= _PQ_TOP_K)
         .select("q_id", "vec_id", "adc_score", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q147: IVF search over the TRAINED codebook — q142's k-means centers
+# feeding q59's probe-own-cell search shape. The full production ANN
+# loop: train -> assign -> probe.
+# --------------------------------------------------------------------------
+
+_Q147_ORACLE = f"""
+WITH {_km_ctes(_KM_K, _KM_ITERS)},
+fin AS (SELECT vec_id, c_id FROM assign{_KM_ITERS}),
+qa AS (
+  SELECT q.vec_id AS q_id, q.v AS qv, a.c_id
+  FROM e q JOIN fin a ON a.vec_id = q.vec_id
+  WHERE q.vec_id < {_PQ_N_QUERIES}
+),
+cand AS (
+  SELECT qa.q_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.v, qa.qv), 4) AS cos_sim
+  FROM qa
+  JOIN fin a ON a.c_id = qa.c_id
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE e.vec_id <> qa.q_id
+)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT q_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM cand)
+WHERE rank <= {_PQ_TOP_K}
+"""
+
+
+@query("q147_ivf_trained_topk", oracle=_Q147_ORACLE, tags=("vector", "similarity", "EXT"))
+def q147_ivf_trained_topk(spark, sf_dir):
+    """The full production ANN loop in one query: train the codebook
+    (q142's distributed spherical k-means), assign the corpus, then
+    answer top-k by probing only the query's own cell (q59's IVF
+    search shape, nprobe=1) — against TRAINED centers, which is what
+    tightens cell populations and lifts recall over the sample
+    codebook.
+
+    Scale: training touches the corpus k_iter times map-only (fixed-k
+    broadcast codebook); the assignment is materialized ONCE and reused
+    by both the query lookup and the candidate probe (persisted
+    partitioned by cell at 100 TB so each probe reads one partition);
+    per-query cost is O(N/#cells).
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fin = (
+        spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS)
+        .select("vec_id", "c_id", "embedding")
+        .localCheckpoint(eager=True)  # train once; probe + lookup reuse it
+    )
+    qa = fin.filter(F.col("vec_id") < _PQ_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "c_id"
+    )
+    cand = (
+        fin.join(F.broadcast(qa), "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(V.cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+    )

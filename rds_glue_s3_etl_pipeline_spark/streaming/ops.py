@@ -171,6 +171,7 @@ def attribution_join(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
     """T7: stream-stream interval join — attribute each purchase to the
     view by the same user within ``horizon`` before it (the classic
@@ -179,6 +180,13 @@ def attribution_join(
     watermark passes view_ts + horizon. The join is equi on user_id
     plus a time-range predicate — state is hash-partitioned by user_id,
     no cross-partition scans.
+
+    ``join_type="leftOuter"`` is the conversion-funnel variant: a view
+    that attracts NO purchase within the horizon still emits (null
+    purchase columns) once the watermark proves no match can arrive —
+    the rows an unconverted-impressions report is made of. Outer rows
+    materialize only at state expiry, so they trail the inner results
+    by up to watermark + horizon (event time), by construction.
     """
     v = views.select(
         F.col("user_id").alias("v_user"),
@@ -196,6 +204,7 @@ def attribution_join(
         (F.col("v_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        join_type,
     ).select(
         F.col("v_user").alias("user_id"),
         "view_id",

@@ -545,3 +545,80 @@ def test_stateful_operators_run_on_rocksdb(tmp_path):
             for r in spark.table("rocks_t8").collect()}
     assert rows[(1, 2)] == 3.0
     assert rows[(1, 3)] == 13.0  # accumulated through RocksDB state
+
+
+def test_attribution_left_outer_emits_unconverted_views(spark, tmp_path):
+    """T7 leftOuter: a view with a purchase inside the horizon joins to
+    it; a view with no purchase emits with NULL purchase columns once
+    the watermark proves no match can arrive."""
+    import pandas as pd
+
+    from rds_glue_s3_etl_pipeline_spark.streaming.ops import attribution_join
+
+    d = tmp_path / "outer_in"
+    d.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def drop(name, rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("int64")
+        pdf.to_parquet(d / name)
+
+    # user 1: view + purchase 10 min later (converts).
+    # user 2: view, never purchases (must emit as outer row).
+    drop(
+        "b1.parquet",
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 10:10:00", 1, "purchase", 9.0, "{}"),
+            (3, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+        ],
+    )
+    stream = read_event_stream(spark, str(d))
+    joined = attribution_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        watermark="30 minutes",
+        join_type="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t7_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Advance the watermark far past view_ts + horizon + watermark
+        # so user 2's buffered view expires and emits its outer row.
+        # BOTH branches need fresh events: the global watermark is the
+        # MIN over the two watermark operators, and each only advances
+        # on rows that reach it (a views-only flush stalls the
+        # purchase-side watermark forever).
+        drop(
+            "b2.parquet",
+            [
+                (4, "2024-01-02 12:00:00", 9, "view", 1.0, "{}"),
+                (5, "2024-01-02 12:00:00", 9, "purchase", 1.0, "{}"),
+            ],
+        )
+        q.processAllAvailable()
+        drop(
+            "b3.parquet",
+            [
+                (6, "2024-01-03 12:00:00", 9, "view", 1.0, "{}"),
+                (7, "2024-01-03 12:00:00", 9, "purchase", 1.0, "{}"),
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t7_outer").collect()
+    by_view = {r["view_id"]: r for r in rows}
+    assert by_view[1]["purchase_id"] == 2  # converted view joins inner-style
+    assert 3 in by_view, "unconverted view must emit an outer row"
+    assert by_view[3]["purchase_id"] is None
+    assert by_view[3]["purchase_value"] is None
