@@ -160,6 +160,23 @@ def stateful_dedup(
     return events.withWatermark("ts", watermark).dropDuplicates([key, "ts"])
 
 
+def stateful_dedup_within_watermark(
+    events: DataFrame, key: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """T4, key-only variant: ``dropDuplicatesWithinWatermark`` dedupes
+    on the KEY alone — replays with a *different* (late-arriving,
+    re-stamped) event time still dedupe, which plain
+    ``dropDuplicates([key, "ts"])`` cannot do without keeping every key
+    forever. State expiry is still watermark-bounded: a key is
+    remembered only while a duplicate could legally arrive, so the
+    store stays O(keys-per-watermark-window) on an unbounded stream —
+    the at-least-once-source to exactly-once-sink bridge.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+
+
 def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """T5: enrich a stream against a static dimension. Spark plans the
     static side as a broadcast per micro-batch — no stream state."""

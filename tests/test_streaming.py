@@ -622,3 +622,49 @@ def test_attribution_left_outer_emits_unconverted_views(spark, tmp_path):
     assert 3 in by_view, "unconverted view must emit an outer row"
     assert by_view[3]["purchase_id"] is None
     assert by_view[3]["purchase_value"] is None
+
+
+def test_dedup_within_watermark_catches_restamped_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedupes on the key alone: a replay
+    whose ts was RE-STAMPED (shifted by ingestion delay) still dedupes,
+    which the (key, ts) composite dedup would pass through as new."""
+    import pandas as pd
+
+    from rds_glue_s3_etl_pipeline_spark.streaming.ops import (
+        stateful_dedup_within_watermark,
+    )
+
+    d = tmp_path / "restamp_in"
+    d.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def drop(name, rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("int64")
+        pdf.to_parquet(d / name)
+
+    drop(
+        "a.parquet",
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 10:05:00", 2, "view", 1.0, "{}"),
+        ],
+    )
+    # Replay of event 1, re-stamped 5 minutes later (inside the
+    # watermark), plus one genuinely new event.
+    drop(
+        "b.parquet",
+        [
+            (1, "2024-01-01 10:05:00", 1, "view", 1.0, "{}"),
+            (3, "2024-01-01 10:10:00", 3, "view", 1.0, "{}"),
+        ],
+    )
+    stream = read_event_stream(spark, str(d))
+    out = run_to_memory(
+        stateful_dedup_within_watermark(stream, watermark="1 hour"),
+        spark,
+        "t4_wm",
+        tmp_path,
+    )
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3]  # the re-stamped replay of 1 was dropped
