@@ -74,6 +74,7 @@ HEADLINE = [
     "q145_ann_recall",
     "q146_pq_topk",
     "q147_ivf_trained_topk",
+    "q148_codebook_balance",
 ]
 
 

@@ -619,3 +619,48 @@ def q147_ivf_trained_topk(spark, sf_dir):
         .filter(F.col("rank") <= _PQ_TOP_K)
         .select("q_id", "vec_id", "cos_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q148: codebook balance — cell populations under the sample codebook
+# (assign0) vs the trained one (assignN). The companion measurement to
+# q145's recall: training is justified by numbers, not vibes.
+# --------------------------------------------------------------------------
+
+_Q148_ORACLE = f"""
+WITH {_km_ctes(_KM_K, _KM_ITERS)},
+both_assign AS (
+  SELECT 'sample' AS codebook, c_id FROM assign0
+  UNION ALL
+  SELECT 'trained' AS codebook, c_id FROM assign{_KM_ITERS}
+)
+SELECT codebook, c_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM both_assign GROUP BY codebook, c_id
+"""
+
+
+@query("q148_codebook_balance", oracle=_Q148_ORACLE, tags=("vector", "similarity", "EXT"))
+def q148_codebook_balance(spark, sf_dir):
+    """Per-cell population for the SAMPLE codebook (k-means round 0)
+    vs the TRAINED one (after {_KM_ITERS} Lloyd rounds) — the balance
+    measurement that justifies training: IVF probe cost is the size of
+    the PROBED cell, so an unbalanced codebook means worst-case
+    latency on exactly the hot cells. Pure aggregation over the two
+    assignment passes; at 100 TB this is the index build's health
+    report, produced from the already-materialized assignment table.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from ..operators.similarity import kmeans_assign
+
+    cent0 = _init_centroids(e)
+    a0 = kmeans_assign(e, cent0).select(
+        F.lit("sample").alias("codebook"), "c_id"
+    )
+    aN = spherical_kmeans(e, cent0, iters=_KM_ITERS).select(
+        F.lit("trained").alias("codebook"), "c_id"
+    )
+    return (
+        a0.unionByName(aN)
+        .groupBy("codebook", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
