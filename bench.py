@@ -75,6 +75,8 @@ HEADLINE = [
     "q146_pq_topk",
     "q147_ivf_trained_topk",
     "q148_codebook_balance",
+    "q149_semantic_dedup_2level",
+    "q150_incremental_vector_dedup_ivf",
 ]
 
 

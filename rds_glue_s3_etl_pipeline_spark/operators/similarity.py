@@ -210,8 +210,25 @@ def spherical_kmeans(
     FIXED constant, the property the 10x scale probe demands of every
     ANN build stage.
     """
+    cent = spherical_kmeans_codebook(
+        embeddings, init_centroids, iters, id_col, vec_col
+    )
+    return kmeans_assign(embeddings, cent, id_col, vec_col)
+
+
+def spherical_kmeans_codebook(
+    embeddings: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained CODEBOOK itself — (c_id, cv) after ``iters`` Lloyd
+    rounds — for callers that need more than the argmax assignment:
+    multi-probe search (rank the top-nprobe cells per query), balance
+    reports, persisting the index artifact."""
     cent = init_centroids
     for _ in range(iters):
         assigned = kmeans_assign(embeddings, cent, id_col, vec_col)
         cent = kmeans_update(assigned, vec_col).localCheckpoint(eager=True)
-    return kmeans_assign(embeddings, cent, id_col, vec_col)
+    return cent

@@ -664,3 +664,301 @@ def q148_codebook_balance(spark, sf_dir):
         .groupBy("codebook", "c_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
+
+
+# --------------------------------------------------------------------------
+# q149: SemDeDup at scale — two-level blocking. The 10x probe measured
+# q143's single-level within-cell self-join at 16.7x on 10x data
+# (cells grow linearly with the corpus at fixed k, so the pair join is
+# quadratic in cell size). The production shape scales the TOTAL cell
+# count with the corpus while keeping assignment linear: a hierarchical
+# codebook — coarse cell (trained, k=16) then a sub-codebook per cell
+# (k_sub=8) — so pairs form inside (cell, subcell) blocks of
+# ~N/(k*k_sub). Same q60-vs-q108 relationship: q143 is the exact
+# single-level reference, q149 the staged scale path (finer blocking
+# trades a little recall for boundedness — measured, not guessed).
+# --------------------------------------------------------------------------
+
+_SUB_K = 8
+
+_Q149_ORACLE = f"""
+WITH RECURSIVE {_km_ctes(_KM_K, _KM_ITERS)},
+fin AS (
+  SELECT a.vec_id, a.c_id, a.cos_sim, e.v
+  FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
+),
+sub AS (
+  SELECT c_id, vec_id AS s_id, v AS sv FROM (
+    SELECT c_id, vec_id, v,
+           ROW_NUMBER() OVER (PARTITION BY c_id
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM fin
+  ) WHERE rn <= {_SUB_K}
+),
+sa AS (
+  SELECT vec_id, c_id, s_id FROM (
+    SELECT f.vec_id, f.c_id, s.s_id,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(f.v, s.sv), 4) DESC,
+                                       s.s_id) AS rn
+    FROM fin f JOIN sub s ON s.c_id = f.c_id
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM sa a JOIN sa b
+    ON a.c_id = b.c_id AND a.s_id = b.s_id AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= {_SEM_THRESHOLD}
+),
+sym AS (
+  SELECT va AS a, vb AS b FROM pairs
+  UNION
+  SELECT vb, va FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cl AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
+members AS (
+  SELECT cl.cluster_id, cl.vec_id, f.cos_sim AS cent_cos
+  FROM cl JOIN fin f ON f.vec_id = cl.vec_id
+)
+SELECT m.cluster_id, m.vec_id AS kept_vec_id, m.cent_cos AS kept_cent_cos,
+       s.n_members
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY cent_cos ASC, vec_id) AS rn
+      FROM members) m
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM members GROUP BY cluster_id) s USING (cluster_id)
+WHERE m.rn = 1
+"""
+
+
+@query("q149_semantic_dedup_2level", oracle=_Q149_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
+def q149_semantic_dedup_2level(spark, sf_dir):
+    """SemDeDup with a HIERARCHICAL codebook — q143's scale variant
+    (the q108-to-q60 relationship): after the trained coarse
+    assignment, each cell gets a {_SUB_K}-entry sub-codebook (its
+    first members in md5 order) and every vector sub-assigns to its
+    nearest sub-centroid, so the pair self-join runs inside
+    (cell, subcell) blocks of ~N/(k*k_sub) instead of N/k.
+
+    This is how SemDeDup holds at 100 TB: the TOTAL block count scales
+    with the corpus (choose k levels / k_sub so blocks stay bounded)
+    while assignment work stays linear — each vector scores k coarse
+    then k_sub fine centroids, never the whole codebook. The 10x probe
+    measured the single-level q143 at 16.7x on 10x data (quadratic in
+    cell size); this plan's blocks are 8x smaller at identical
+    assignment cost. Finer blocking can only LOWER pair recall —
+    survivors per group and the keep-the-outlier policy are unchanged.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fin = (
+        spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS)
+        .withColumn("nrm", V.norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
+    )
+    w_sub = Window.partitionBy("c_id").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+    )
+    sub = (
+        fin.withColumn("rn", F.row_number().over(w_sub))
+        .filter(F.col("rn") <= _SUB_K)
+        .select(
+            "c_id",
+            F.col("vec_id").alias("s_id"),
+            F.col("embedding").alias("sv"),
+            F.col("nrm").alias("snrm"),
+        )
+    )
+    scos = F.round(
+        V.dot(F.col("embedding"), F.col("sv")) / (F.col("nrm") * F.col("snrm")), 4
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("scos"), F.asc("s_id"))
+    sa = (
+        fin.join(F.broadcast(sub), "c_id")
+        .select("vec_id", "c_id", "s_id", "embedding", "nrm", scos.alias("scos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c_id", "s_id", "embedding", "nrm")
+    )
+    a = sa.alias("a")
+    b = sa.alias("b")
+    cos = F.round(
+        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_id") == F.col("b.c_id"))
+            & (F.col("a.s_id") == F.col("b.s_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEM_THRESHOLD)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    )
+    cl = connected_components_star(pairs, src="va", dst="vb").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    members = cl.join(
+        fin.select("vec_id", F.col("cos_sim").alias("cent_cos")), "vec_id"
+    )
+    w_keep = Window.partitionBy("cluster_id").orderBy(
+        F.col("cent_cos").asc(), F.col("vec_id").asc()
+    )
+    kept = (
+        members.withColumn("rn", F.row_number().over(w_keep))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("kept_vec_id"),
+            F.col("cent_cos").alias("kept_cent_cos"),
+        )
+    )
+    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return kept.join(sizes, "cluster_id").select(
+        "cluster_id", "kept_vec_id", "kept_cent_cos", "n_members"
+    )
+
+
+# --------------------------------------------------------------------------
+# q150: incremental vector dedup, IVF-blocked — q132's scale variant.
+# The 10x probe measured q132 (label-blocked new x history join) at
+# 12.8x on 10x data: label blocks grow linearly with the corpus, so
+# the within-block join is quadratic. Production probes the ANN index
+# instead of scanning the block — here: new vectors only compare
+# against history in the SAME trained k-means cell (label AND cell),
+# the nprobe=1 shape of q132's own docstring.
+# --------------------------------------------------------------------------
+
+from .vector import _NEAR_DUP_THRESHOLD  # noqa: E402
+
+_NPROBE = 4
+
+_Q150_ORACLE = f"""
+WITH {_km_ctes(_KM_K, _KM_ITERS)},
+el AS (
+  SELECT e0.vec_id, e0.label, e.v, a.c_id
+  FROM embeddings e0
+  JOIN e ON e.vec_id = e0.vec_id
+  JOIN assign{_KM_ITERS} a ON a.vec_id = e0.vec_id
+),
+probe AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                       c.c_id) AS rn
+    FROM e CROSS JOIN cent{_KM_ITERS} c
+    WHERE e.vec_id % 5 = 0
+  ) WHERE rn <= {_NPROBE}
+),
+scored AS (
+  SELECT n.vec_id AS new_vec_id, h.vec_id AS hist_vec_id,
+         CAST(n.label AS BIGINT) AS label,
+         ROUND(list_cosine_similarity(n.v, h.v), 4) AS cos_sim
+  FROM probe p
+  JOIN el h ON h.c_id = p.c_id AND h.vec_id % 5 <> 0
+  JOIN el n ON n.vec_id = p.vec_id AND n.label = h.label
+)
+SELECT new_vec_id, hist_vec_id AS best_hist_vec_id, label, cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY new_vec_id ORDER BY cos_sim DESC, hist_vec_id) AS rn
+      FROM scored
+      WHERE cos_sim >= {_NEAR_DUP_THRESHOLD})
+WHERE rn = 1
+"""
+
+
+@query("q150_incremental_vector_dedup_ivf", oracle=_Q150_ORACLE, tags=("vector", "dedup", "EXT"))
+def q150_incremental_vector_dedup_ivf(spark, sf_dir):
+    """Incremental-ingest vector dedup probing the IVF index — q132's
+    scale variant (the q108-to-q60 relationship): incoming vectors
+    (vec_id % 5 == 0) score the trained codebook and compare against
+    history only within their top-{_NPROBE} cells (multi-probe) and
+    label, so each ingest batch pays |new| x nprobe x |cell block|
+    instead of |new| x |label block| — the 10x probe measured the
+    unblocked q132 at 12.8x on 10x data (label blocks grow with the
+    corpus; the join is quadratic in block size).
+
+    At 100 TB the history side is the PERSISTED assignment partitioned
+    by cell: a new vector scores k centroids (broadcast codebook),
+    reads nprobe partitions, windows for its best match. nprobe is the
+    cost-for-recall dial, measured (q145 discipline), never assumed:
+    on this fixture nprobe=1 recovered 4/28 of q132's exact matches
+    (near-dups straddle cell boundaries on weakly-clustered data);
+    nprobe={_NPROBE} recovers 18/28 with 16/18 identical best-matches,
+    at 3.6x wall on 10x data vs the exact join's 12.8x (SCALE.md).
+    """
+    from ..operators.similarity import kmeans_assign, spherical_kmeans_codebook
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    ev = e.select("vec_id", "embedding")
+    cent = spherical_kmeans_codebook(ev, _init_centroids(ev), iters=_KM_ITERS)
+    fin = (
+        kmeans_assign(ev, cent)
+        .select("vec_id", "c_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    el = fin.join(e.select("vec_id", "label"), "vec_id").withColumn(
+        "nrm", V.norm(F.col("embedding"))
+    )
+    # Multi-probe cell list for the incoming batch: rank ALL cells per
+    # new vector (same rounded-cosine discipline as assignment), keep
+    # the top nprobe.
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("c_id")
+    )
+    probe = (
+        ev.filter(F.col("vec_id") % 5 == 0)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "c_id",
+            F.round(V.cosine(F.col("embedding"), F.col("cv")), 4).alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _NPROBE)
+        .select(F.col("vec_id").alias("p_vec"), F.col("c_id").alias("p_cell"))
+    )
+    new = el.filter(F.col("vec_id") % 5 == 0).alias("n")
+    hist = el.filter(F.col("vec_id") % 5 != 0).alias("h")
+    cos = F.round(
+        V.dot(F.col("n.embedding"), F.col("h.embedding"))
+        / (F.col("n.nrm") * F.col("h.nrm")),
+        4,
+    )
+    scored = (
+        probe.join(hist, F.col("p_cell") == F.col("h.c_id"))
+        .join(
+            new,
+            (F.col("n.vec_id") == F.col("p_vec"))
+            & (F.col("n.label") == F.col("h.label")),
+        )
+        .select(
+            F.col("n.vec_id").alias("new_vec_id"),
+            F.col("h.vec_id").alias("hist_vec_id"),
+            F.col("n.label").cast("long").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _NEAR_DUP_THRESHOLD)
+    )
+    w = Window.partitionBy("new_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("hist_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_vec_id",
+            F.col("hist_vec_id").alias("best_hist_vec_id"),
+            "label",
+            "cos_sim",
+        )
+    )

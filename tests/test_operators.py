@@ -702,3 +702,45 @@ def test_pq_encoding_shape_and_code_domain(spark, sf_dir):
         assert all(
             a["adc_score"] >= b["adc_score"] for a, b in zip(srt, srt[1:])
         )
+
+
+def test_semantic_dedup_2level_subset_relationship(spark, sf_dir):
+    """Finer blocking can only LOWER pair recall: every q149 dup group
+    lives inside some q143 group (two-level pairs are a subset of
+    single-level pairs, so components can only split, never merge or
+    grow)."""
+    from rds_glue_s3_etl_pipeline_spark.queries.vector3 import (
+        q143_semantic_dedup,
+        q149_semantic_dedup_2level,
+    )
+
+    g1 = q143_semantic_dedup(spark, sf_dir).collect()
+    g2 = q149_semantic_dedup_2level(spark, sf_dir).collect()
+    assert g2, "two-level fixture should still find dup groups"
+    size1 = {r["cluster_id"]: r["n_members"] for r in g1}
+    total1 = sum(size1.values())
+    total2 = sum(r["n_members"] for r in g2)
+    # splitting components cannot place MORE vectors into dup groups
+    assert total2 <= total1
+
+
+def test_incremental_ivf_matches_are_exact_subset(spark, sf_dir):
+    """Every q150 (IVF-probed) match is above-threshold and its
+    best-match score never exceeds q132's exact best for the same new
+    vector (probing fewer cells cannot find a better match)."""
+    from rds_glue_s3_etl_pipeline_spark.queries.vector2 import (
+        q132_incremental_vector_dedup,
+    )
+    from rds_glue_s3_etl_pipeline_spark.queries.vector3 import (
+        q150_incremental_vector_dedup_ivf,
+    )
+
+    exact = {
+        r["new_vec_id"]: r["cos_sim"]
+        for r in q132_incremental_vector_dedup(spark, sf_dir).collect()
+    }
+    probed = q150_incremental_vector_dedup_ivf(spark, sf_dir).collect()
+    assert probed
+    for r in probed:
+        assert r["new_vec_id"] in exact
+        assert r["cos_sim"] <= exact[r["new_vec_id"]]
