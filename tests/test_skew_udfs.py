@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from rds_glue_s3_etl_pipeline_spark.functions.udfs import log1p_abs, order_gap_stats
@@ -68,3 +69,32 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "full", "full_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, "k", how=how)
+
+
+def test_arrow_udf_digit_density_matches_builtin(spark):
+    """The Arrow-native UDF must agree with the pure-builtin digit
+    ratio (functions/text.py) on every row — same semantics, different
+    execution tier."""
+    from rds_glue_s3_etl_pipeline_spark.functions import text as X
+    from rds_glue_s3_etl_pipeline_spark.functions.udfs import (
+        HAS_ARROW_UDF,
+        digit_density,
+    )
+
+    assert HAS_ARROW_UDF, "Spark 4.1 ships arrow_udf; the fallback fired"
+    df = spark.createDataFrame(
+        [("abc123",), ("2024",), ("no digits here",), ("a1b2c3d4",)],
+        "text string",
+    )
+    got = df.select(
+        digit_density("text").alias("a"),
+        X.digit_ratio("text").alias("b"),
+    ).collect()
+    for r in got:
+        assert r["a"] == pytest.approx(r["b"])
+    # the arrow kernel handles the empty string itself (0.0, no ANSI
+    # divide-by-zero — the builtin ratio requires non-empty input)
+    empty = spark.createDataFrame([("",)], "text string").select(
+        digit_density("text").alias("a")
+    ).collect()
+    assert empty[0]["a"] == 0.0
