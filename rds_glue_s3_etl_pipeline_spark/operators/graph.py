@@ -164,7 +164,9 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            # No distinct here: min-aggregations are duplicate-
+            # insensitive and small-star ends in one — dropping it
+            # saves a full edge-list shuffle per round.
         )
         # --- small-star: orient every edge large→small, group by the
         # large end; all neighbors (≤ u) and u itself attach to the min.
