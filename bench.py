@@ -77,6 +77,8 @@ HEADLINE = [
     "q148_codebook_balance",
     "q149_semantic_dedup_2level",
     "q150_incremental_vector_dedup_ivf",
+    "q151_bpe_merge_step",
+    "q152_bpe_train",
 ]
 
 

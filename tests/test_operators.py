@@ -744,3 +744,81 @@ def test_incremental_ivf_matches_are_exact_subset(spark, sf_dir):
     for r in probed:
         assert r["new_vec_id"] in exact
         assert r["cos_sim"] <= exact[r["new_vec_id"]]
+
+
+def _bpe_reference(vocab: dict[tuple, int], n_merges: int):
+    """Plain-Python BPE (Sennrich et al. 2016 pseudocode transcription)
+    used as a differential oracle for the distributed trainer."""
+    vocab = dict(vocab)
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        out = {}
+        for syms, f in vocab.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            out[tuple(new)] = out.get(tuple(new), 0) + f
+        vocab = out
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Distributed BPE must learn the exact merge table the sequential
+    reference learns — including the overlap case (greedy leftmost)
+    and deterministic tie-breaks."""
+    from rds_glue_s3_etl_pipeline_spark.operators.bpe import (
+        bpe_train,
+        words_to_symbols,
+    )
+
+    # the paper's classic example + an overlap stressor
+    corpus = {
+        "low": 5,
+        "lower": 2,
+        "newest": 6,
+        "widest": 3,
+        "aaaa": 4,
+    }
+    toks = spark.createDataFrame(list(corpus.items()), "tok string, f long")
+    got = bpe_train(words_to_symbols(toks), n_merges=6)
+    want = _bpe_reference(
+        {tuple(w): f for w, f in corpus.items()}, n_merges=6
+    )
+    assert got == want
+
+
+def test_bpe_on_fixture_corpus_first_merge_matches_q151(spark, sf_dir):
+    """The trainer's FIRST merge equals q151's top pair on the same
+    corpus (same counting, two code paths)."""
+    from rds_glue_s3_etl_pipeline_spark.operators.bpe import (
+        bpe_train,
+        words_to_symbols,
+    )
+    from rds_glue_s3_etl_pipeline_spark.queries.text4 import q151_bpe_merge_step
+
+    top = q151_bpe_merge_step(spark, sf_dir).limit(1).collect()[0]
+    from rds_glue_s3_etl_pipeline_spark.catalog import load
+    from rds_glue_s3_etl_pipeline_spark.functions import text as X
+
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(X.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    merges = bpe_train(words_to_symbols(words), n_merges=1)
+    assert merges[0] == (top["a"], top["b"], top["n_occurrences"])
