@@ -79,6 +79,7 @@ HEADLINE = [
     "q150_incremental_vector_dedup_ivf",
     "q151_bpe_merge_step",
     "q152_bpe_train",
+    "q153_triangle_enum",
 ]
 
 

@@ -23,6 +23,7 @@ from . import text  # noqa: F401
 from . import text2  # noqa: F401
 from . import text3  # noqa: F401
 from . import text4  # noqa: F401
+from . import graph2  # noqa: F401
 from . import vector  # noqa: F401
 from . import vector2  # noqa: F401
 from . import vector3  # noqa: F401

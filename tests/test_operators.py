@@ -822,3 +822,33 @@ def test_bpe_on_fixture_corpus_first_merge_matches_q151(spark, sf_dir):
     )
     merges = bpe_train(words_to_symbols(words), n_merges=1)
     assert merges[0] == (top["a"], top["b"], top["n_occurrences"])
+
+
+def test_triangle_enum_hand_computed(spark, sf_dir, tmp_path):
+    """Triangle enumeration on a hand-built order/part table: one
+    4-clique (4 triangles) + a pendant edge (0 triangles), each pair
+    co-occurring in >= 2 orders to clear the support threshold."""
+    import itertools
+
+    from rds_glue_s3_etl_pipeline_spark.queries.graph2 import q153_triangle_enum
+
+    rows = []
+    ok = 0
+    # 4-clique on parts 1-4: every pair appears in 2 distinct orders
+    for a, b in itertools.combinations([1, 2, 3, 4], 2):
+        for _ in range(2):
+            ok += 1
+            rows += [(ok, a), (ok, b)]
+    # pendant: 4-5 twice (edge, but no triangle through 5)
+    for _ in range(2):
+        ok += 1
+        rows += [(ok, 4), (ok, 5)]
+    d = tmp_path / "tri"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(d / "lineitem.parquet"))
+    got = q153_triangle_enum(spark, str(d)).collect()
+    tris = {tuple(sorted((r["u"], r["v"], r["w"]))) for r in got}
+    assert len(got) == 4  # each triangle exactly once
+    assert tris == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
