@@ -80,6 +80,7 @@ HEADLINE = [
     "q151_bpe_merge_step",
     "q152_bpe_train",
     "q153_triangle_enum",
+    "q154_split_balance",
 ]
 
 

@@ -110,3 +110,75 @@ def q152_bpe_train(spark, sf_dir):
     return spark.createDataFrame(
         rows, "step int, left string, right string, n_occurrences long"
     )
+
+
+# --------------------------------------------------------------------------
+# q154: split-balance QA report — the go/no-go check after a q138-style
+# deterministic split: per split x language, document and token mass,
+# plus each split's share of its language's tokens.
+# --------------------------------------------------------------------------
+
+from .scale5 import _SPLIT_TRAIN_HI, _SPLIT_VAL_HI  # noqa: E402
+
+_Q154_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 AS n_tokens,
+         CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+              WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_VAL_HI}' THEN 'val'
+              ELSE 'test'
+         END AS split
+  FROM documents
+),
+agg AS (
+  SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM s GROUP BY split, lang
+),
+tot AS (SELECT lang, SUM(n_tokens) AS lang_tokens FROM agg GROUP BY lang)
+SELECT a.split, a.lang, a.n_docs, a.n_tokens,
+       ROUND(a.n_tokens / CAST(t.lang_tokens AS DOUBLE), 6) AS token_share
+FROM agg a JOIN tot t USING (lang)
+"""
+
+
+@query("q154_split_balance", oracle=_Q154_ORACLE, tags=("text", "etl", "agg", "EXT"))
+def q154_split_balance(spark, sf_dir):
+    """Split-balance report over the q138 deterministic hash split:
+    per (split, language) document count, token mass, and the split's
+    share of that language's tokens — the QA gate that catches a
+    skewed split BEFORE an eval set ships (a language whose val share
+    is 0 invalidates every metric downstream).
+
+    One scan, one hash aggregate at (split x lang) cardinality, one
+    tiny share join — map-side combinable all the way; this report
+    costs a single pass however large the corpus. The simple-space
+    token count (q19's contract) keeps both engines' token mass
+    identical without tokenizer state.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_tokens = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    s = d.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.when(bucket < _SPLIT_TRAIN_HI, "train")
+        .when(bucket < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    agg = s.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    tot = agg.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    return agg.join(tot, "lang").select(
+        "split",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("lang_tokens").cast("double"), 6).alias(
+            "token_share"
+        ),
+    )
