@@ -78,7 +78,7 @@ def q151_bpe_merge_step(spark, sf_dir):
 _BPE_MERGES = 8
 
 
-@query("q152_bpe_train", oracle=None, tags=("text", "iterative", "EXT"))
+@query("q152_bpe_train", oracle=None, tags=("text", "iterative", "rows-only", "EXT"))
 def q152_bpe_train(spark, sf_dir):
     """Full BPE training, {_BPE_MERGES} merges (operators/bpe.py): the
     ordered merge table (step, left, right, n_occurrences) learned
