@@ -103,6 +103,13 @@ def connected_components(
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
+    # The final labels are already materialized (checkpointed every
+    # round), so the cached edge list can be released — unlike a
+    # GC-collected localCheckpoint RDD, a persisted plan stays pinned
+    # in the CacheManager until explicitly unpersisted, and a session
+    # running many components calls (bench: 8+ queries) would
+    # accumulate one edge list per call.
+    sym.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
@@ -289,4 +296,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
+    # Materialize the (node-sized) result, then release the cached
+    # edge list — the returned DataFrame must not lazily re-read a
+    # persisted plan we are about to unpersist, and without the
+    # unpersist every pagerank call pins another edge-list copy in
+    # executor storage for the session lifetime.
+    ranks = ranks.localCheckpoint(eager=True)
+    e_deg.unpersist()
     return ranks

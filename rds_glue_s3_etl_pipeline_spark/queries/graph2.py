@@ -79,6 +79,11 @@ def q153_triangle_enum(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= _TRI_SUPPORT)
         .select("u", "v")
+        # The pair build (lineitem self-join + aggregate) is the
+        # dominant stage and feeds FIVE plan paths below (deg via both
+        # orientations, then the orient join's three inputs) —
+        # materialize it rather than lean on exchange reuse.
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))

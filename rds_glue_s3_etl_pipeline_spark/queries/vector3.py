@@ -84,15 +84,19 @@ SELECT vec_id, c_id, cos_sim FROM assign{_KM_ITERS}
 """
 
 
-def _init_centroids(e):
+def _init_centroids(e, k: int = _KM_K, vec_alias: str = "cv"):
     """q59's seedless pseudo-random codebook: the first k vectors in
-    md5(vec_id) order — deterministic on any engine, no RNG state."""
+    md5(vec_id) order — deterministic on any engine, no RNG state.
+    The cast-to-binary md5 detail must match the DuckDB twin's
+    ``md5(CAST(vec_id AS VARCHAR))`` byte-for-byte; every sample-
+    codebook consumer (q142/q143/q146/q148/q149/q150) goes through
+    here so the discipline lives in one place."""
     return (
         e.orderBy(
             F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
         )
-        .limit(_KM_K)
-        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+        .limit(k)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias(vec_alias))
     )
 
 
@@ -159,6 +163,37 @@ WHERE m.rn = 1
 """
 
 
+def _survivor_groups(fin, pairs):
+    """The SemDeDup decision tail shared by q143/q149 (and any future
+    blocking variant): pairs → star-contraction components → one
+    survivor per group, the member LEAST similar to its centroid
+    (keep-the-outlier; 4dp cosine from ``fin``, vec_id tie-break) —
+    plus group size. Only real groups (>= 2 members) appear, since
+    components contain only paired vectors."""
+    cl = connected_components_star(pairs, src="va", dst="vb").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    members = cl.join(
+        fin.select("vec_id", F.col("cos_sim").alias("cent_cos")), "vec_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cent_cos").asc(), F.col("vec_id").asc()
+    )
+    kept = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("kept_vec_id"),
+            F.col("cent_cos").alias("kept_cent_cos"),
+        )
+    )
+    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return kept.join(sizes, "cluster_id").select(
+        "cluster_id", "kept_vec_id", "kept_cent_cos", "n_members"
+    )
+
+
 @query("q143_semantic_dedup", oracle=_Q143_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
 def q143_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs are
@@ -204,28 +239,7 @@ def q143_semantic_dedup(spark, sf_dir):
         .filter(cos >= _SEM_THRESHOLD)
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
     )
-    cl = connected_components_star(pairs, src="va", dst="vb").select(
-        F.col("id").alias("vec_id"), "cluster_id"
-    )
-    members = cl.join(
-        fin.select("vec_id", F.col("cos_sim").alias("cent_cos")), "vec_id"
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("cent_cos").asc(), F.col("vec_id").asc()
-    )
-    kept = (
-        members.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("vec_id").alias("kept_vec_id"),
-            F.col("cent_cos").alias("kept_cent_cos"),
-        )
-    )
-    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
-    return kept.join(sizes, "cluster_id").select(
-        "cluster_id", "kept_vec_id", "kept_cent_cos", "n_members"
-    )
+    return _survivor_groups(fin, pairs)
 
 
 # --------------------------------------------------------------------------
@@ -474,13 +488,7 @@ def q146_pq_topk(spark, sf_dir):
     twin reproduces every score bit for bit.
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = (
-        e.orderBy(
-            F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
-        )
-        .limit(_PQ_KSUB)
-        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("v"))
-    )
+    cent = _init_centroids(e, k=_PQ_KSUB, vec_alias="v")
     ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
     subs = e.select("vec_id", ms, "embedding").select(
         "vec_id",
@@ -650,13 +658,18 @@ def q148_codebook_balance(spark, sf_dir):
     report, produced from the already-materialized assignment table.
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    from ..operators.similarity import kmeans_assign
+    from ..operators.similarity import kmeans_assign, kmeans_update
 
     cent0 = _init_centroids(e)
-    a0 = kmeans_assign(e, cent0).select(
-        F.lit("sample").alias("codebook"), "c_id"
-    )
-    aN = spherical_kmeans(e, cent0, iters=_KM_ITERS).select(
+    # Round-0 assignment computed ONCE and reused both as the "sample"
+    # report row source and as the first Lloyd update's input — calling
+    # spherical_kmeans separately would redo this exact O(N x k) pass.
+    assign0 = kmeans_assign(e, cent0).localCheckpoint(eager=True)
+    cent = kmeans_update(assign0).localCheckpoint(eager=True)
+    for _ in range(_KM_ITERS - 1):
+        cent = kmeans_update(kmeans_assign(e, cent)).localCheckpoint(eager=True)
+    a0 = assign0.select(F.lit("sample").alias("codebook"), "c_id")
+    aN = kmeans_assign(e, cent).select(
         F.lit("trained").alias("codebook"), "c_id"
     )
     return (
@@ -803,28 +816,7 @@ def q149_semantic_dedup_2level(spark, sf_dir):
         .filter(cos >= _SEM_THRESHOLD)
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
     )
-    cl = connected_components_star(pairs, src="va", dst="vb").select(
-        F.col("id").alias("vec_id"), "cluster_id"
-    )
-    members = cl.join(
-        fin.select("vec_id", F.col("cos_sim").alias("cent_cos")), "vec_id"
-    )
-    w_keep = Window.partitionBy("cluster_id").orderBy(
-        F.col("cent_cos").asc(), F.col("vec_id").asc()
-    )
-    kept = (
-        members.withColumn("rn", F.row_number().over(w_keep))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("vec_id").alias("kept_vec_id"),
-            F.col("cent_cos").alias("kept_cent_cos"),
-        )
-    )
-    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
-    return kept.join(sizes, "cluster_id").select(
-        "cluster_id", "kept_vec_id", "kept_cent_cos", "n_members"
-    )
+    return _survivor_groups(fin, pairs)
 
 
 # --------------------------------------------------------------------------

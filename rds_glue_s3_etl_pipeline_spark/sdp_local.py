@@ -91,6 +91,16 @@ def run_pipeline(
     with graph_element_registration_context(registry):
         declare()
 
+    # Drop any pre-existing temp views with this pipeline's target
+    # names: without this, a flow whose declared upstream hasn't run
+    # yet could silently bind to a STALE view left by an earlier
+    # run_pipeline in the same session and return outdated data
+    # instead of waiting its turn. Names this pipeline does NOT
+    # declare are, by definition, external sources and resolve
+    # against the session catalog as usual.
+    for fl in registry.flows:
+        spark.catalog.dropTempView(fl.target)
+
     pending = list(registry.flows)
     done: dict[str, DataFrame] = {}
     for _ in range(max_rounds):
