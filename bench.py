@@ -81,6 +81,7 @@ HEADLINE = [
     "q152_bpe_train",
     "q153_triangle_enum",
     "q154_split_balance",
+    "q155_ann_recall_trained",
 ]
 
 
