@@ -1,20 +1,28 @@
-"""Fourth vector/similarity batch — the trained-codebook ANN stack and
-its quality gate, plus sparse (TF-IDF) document similarity:
+"""Fourth vector/similarity batch — the trained-codebook ANN stack,
+its measured quality gates, and semantic dedup:
 
 * q142: spherical k-means (Lloyd) refined IVF assignment — replaces
   q59's seedless sample codebook with actual cluster centers, trained
   by fixed-iteration distributed Lloyd rounds.
-* q143: SemDeDup-style semantic dedup (Abbas et al. 2023, public
-  paper): near-duplicate SEMANTIC pairs are found only within a
-  k-means cell, clustered, and one survivor kept per group.
+* q143 / q149: SemDeDup-style semantic dedup (Abbas et al. 2023,
+  public paper) — pairs only within a k-means cell (q143), and the
+  scale variant blocking by (cell, sub-codebook cell) after the 10x
+  probe caught the single-level join's quadratic cell growth (q149).
 * q144: sparse TF-IDF cosine similarity join via an inverted index
   with a document-frequency cap — the classic all-pairs-similarity
   shape (term-at-a-time, candidates only where terms are shared).
-* q145: recall@k of the IVF path (q59) against the exact brute-force
-  top-k (q24) — "measure, don't guess" for the ANN approximation.
+* q145 / q155: recall@k of the sample-codebook IVF (q59) and the
+  trained IVF (q147) against exact brute force (q24) — "measure,
+  don't guess" for both codebooks (0.10 -> 0.225 mean recall@5).
+* q146: product quantization with ADC lookup-table scoring.
+* q147: train -> assign -> probe, the full production ANN loop.
+* q148: codebook balance report (sample vs trained cell populations).
+* q150: incremental ingest dedup probing the trained cells
+  (multi-probe nprobe=4), q132's bounded-block scale variant.
 
-Every query carries a full DuckDB oracle; the k-means iterations are
-unrolled into CTEs exactly like q137's PageRank rounds.
+Every query except where noted carries a full DuckDB oracle; the
+k-means iterations are unrolled into CTEs exactly like q137's
+PageRank rounds.
 """
 
 from __future__ import annotations
