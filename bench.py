@@ -82,6 +82,7 @@ HEADLINE = [
     "q153_triangle_enum",
     "q154_split_balance",
     "q155_ann_recall_trained",
+    "q156_bpe_compression",
 ]
 
 

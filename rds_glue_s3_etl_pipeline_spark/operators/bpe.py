@@ -102,3 +102,23 @@ def words_to_symbols(tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
         ).alias("syms"),
         F.col(f_col).alias("f"),
     )
+
+
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    sym_col: str = "syms",
+    freq_col: str = "f",
+) -> DataFrame:
+    """Apply a learned merge table to a symbol-array vocabulary, in
+    merge order — the ENCODE side of BPE (tokenizing new text with a
+    trained tokenizer). Each merge is one JVM-side array fold over the
+    distinct vocab; ``n`` merges = ``n`` chained map-only transforms,
+    no shuffle at all.
+
+    Returns the re-segmented (syms, f) table."""
+    w = words.select(F.col(sym_col).alias("syms"), F.col(freq_col).alias("f"))
+    for m in merges:
+        a, b = m[0], m[1]
+        w = _merge_pair(w, a, b)
+    return w

@@ -182,3 +182,55 @@ def q154_split_balance(spark, sf_dir):
             "token_share"
         ),
     )
+
+
+@query("q156_bpe_compression", oracle=None, tags=("text", "iterative", "rows-only", "EXT"))
+def q156_bpe_compression(spark, sf_dir):
+    """The encode side of the trained tokenizer: apply q152's learned
+    merge table back to the corpus vocabulary and report the
+    compression it buys — symbols per word-occurrence before vs after
+    ({_BPE_MERGES} merges). Rows-only (the merge table is the output
+    of an iterative argmax); values are exact integers plus one
+    terminal division, and the apply step itself is pinned by the
+    differential BPE tests.
+
+    Scale: training touched the corpus once; the ENCODE here is
+    {_BPE_MERGES} chained map-only array folds over the distinct
+    vocabulary — zero shuffles, the profile of tokenizing 100 TB with
+    a broadcast merge table.
+    """
+    from ..operators.bpe import bpe_apply, bpe_train, words_to_symbols
+
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(X.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    syms = words_to_symbols(words).localCheckpoint(eager=True)
+    merges = bpe_train(syms, n_merges=_BPE_MERGES)
+    encoded = bpe_apply(syms, merges)
+
+    def _mass(w):
+        return w.agg(
+            F.sum(F.col("f")).alias("n_word_occurrences"),
+            F.sum(F.size("syms") * F.col("f")).alias("n_symbols"),
+        )
+
+    before = _mass(syms).select(
+        F.col("n_word_occurrences"),
+        F.col("n_symbols").alias("symbols_before"),
+    )
+    after = _mass(encoded).select(
+        F.col("n_symbols").alias("symbols_after")
+    )
+    return before.crossJoin(after).select(
+        "n_word_occurrences",
+        "symbols_before",
+        "symbols_after",
+        F.round(
+            F.col("symbols_after") / F.col("symbols_before").cast("double"), 6
+        ).alias("compression"),
+        F.lit(len(merges)).cast("int").alias("n_merges"),
+    )

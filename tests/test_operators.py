@@ -852,3 +852,38 @@ def test_triangle_enum_hand_computed(spark, sf_dir, tmp_path):
     tris = {tuple(sorted((r["u"], r["v"], r["w"]))) for r in got}
     assert len(got) == 4  # each triangle exactly once
     assert tris == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_bpe_apply_matches_reference_encode(spark):
+    """bpe_apply on a trained merge table re-segments exactly like the
+    sequential reference's merge application (same greedy-leftmost
+    semantics), and total symbol mass shrinks by the merge counts."""
+    from rds_glue_s3_etl_pipeline_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+        words_to_symbols,
+    )
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    toks = spark.createDataFrame(list(corpus.items()), "tok string, f long")
+    syms = words_to_symbols(toks)
+    merges = bpe_train(syms, n_merges=4)
+    got = {
+        tuple(r["syms"]): r["f"] for r in bpe_apply(syms, merges).collect()
+    }
+    # reference: replay _bpe_reference's vocab rewriting
+    vocab = {tuple(w): f for w, f in corpus.items()}
+    for a, b, _ in merges:
+        out = {}
+        for s, f in vocab.items():
+            new, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            out[tuple(new)] = out.get(tuple(new), 0) + f
+        vocab = out
+    assert got == vocab
