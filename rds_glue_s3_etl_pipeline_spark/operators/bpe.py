@@ -62,13 +62,23 @@ def _merge_pair(words: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def bpe_train(
-    words: DataFrame, n_merges: int, sym_col: str = "syms", freq_col: str = "f"
-) -> list[tuple[str, str, int]]:
+    words: DataFrame,
+    n_merges: int,
+    sym_col: str = "syms",
+    freq_col: str = "f",
+    return_vocab: bool = False,
+):
     """Learn ``n_merges`` BPE merges from a weighted vocabulary
     (``sym_col``: array<string> of current symbols, ``freq_col``:
     word frequency). Returns the ordered merge table
     [(left, right, count), ...] — ties broken (count desc, a, b) so
     training is deterministic on any partitioning.
+
+    With ``return_vocab=True`` returns ``(merges, final_vocab)`` —
+    training already materializes the fully-merged vocabulary, so
+    callers that need the encoded corpus state (compression reports,
+    vocab export) must not pay a second ``bpe_apply`` pass over the
+    same input.
     """
     w = words.select(
         F.col(sym_col).alias("syms"), F.col(freq_col).alias("f")
@@ -89,6 +99,8 @@ def bpe_train(
         # next round's counts scan it twice (count + merge) — without
         # this the plan nests one fold per historical merge.
         w = _merge_pair(w, a, b).localCheckpoint(eager=True)
+    if return_vocab:
+        return merges, w
     return merges
 
 
@@ -118,7 +130,13 @@ def bpe_apply(
 
     Returns the re-segmented (syms, f) table."""
     w = words.select(F.col(sym_col).alias("syms"), F.col(freq_col).alias("f"))
-    for m in merges:
+    for i, m in enumerate(merges):
         a, b = m[0], m[1]
         w = _merge_pair(w, a, b)
+        # A real tokenizer carries 10k+ merges; without periodic
+        # materialization each merge nests another fold lambda inside
+        # the previous plan and Catalyst's analysis cost explodes long
+        # before data moves. Checkpoint on a cadence to bound depth.
+        if (i + 1) % 64 == 0 and i + 1 < len(merges):
+            w = w.localCheckpoint(eager=True)
     return w

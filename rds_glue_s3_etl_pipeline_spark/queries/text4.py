@@ -199,7 +199,7 @@ def q156_bpe_compression(spark, sf_dir):
     vocabulary — zero shuffles, the profile of tokenizing 100 TB with
     a broadcast merge table.
     """
-    from ..operators.bpe import bpe_apply, bpe_train, words_to_symbols
+    from ..operators.bpe import bpe_train, words_to_symbols
 
     words = (
         load(spark, sf_dir, "documents")
@@ -209,8 +209,11 @@ def q156_bpe_compression(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("f"))
     )
     syms = words_to_symbols(words).localCheckpoint(eager=True)
-    merges = bpe_train(syms, n_merges=_BPE_MERGES)
-    encoded = bpe_apply(syms, merges)
+    # Training already materializes the fully-merged vocab — reuse it
+    # rather than paying a second bpe_apply pass over the same input.
+    merges, encoded = bpe_train(
+        syms, n_merges=_BPE_MERGES, return_vocab=True
+    )
 
     def _mass(w):
         return w.agg(

@@ -374,8 +374,12 @@ def q144_sparse_cosine_pairs(spark, sf_dir):
 from .vector import _Q24_ORACLE, _TOP_K  # noqa: E402
 from .vector2 import _Q59_ORACLE  # noqa: E402
 
-_Q145_ORACLE = f"""
-WITH ivf AS (SELECT q_id, vec_id FROM ({_Q59_ORACLE})),
+
+def _recall_oracle(ivf_sql: str) -> str:
+    """Recall@k oracle template shared by q145/q155: any IVF variant's
+    (q_id, vec_id) result measured against the exact q24 top-k."""
+    return f"""
+WITH ivf AS (SELECT q_id, vec_id FROM ({ivf_sql})),
 exact AS (SELECT q_id, vec_id FROM ({_Q24_ORACLE})),
 hits AS (
   SELECT e.q_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits
@@ -384,6 +388,32 @@ hits AS (
 )
 SELECT q_id, n_hits, n_hits / {float(_TOP_K)} AS recall FROM hits
 """
+
+
+def _recall_report(spark, sf_dir, ivf_query_fn):
+    """Spark half of the recall template: intersect an IVF variant's
+    top-k with the exact q24 top-k per query, divide by k. Both sides
+    must be cut at the SAME k (_TOP_K) for recall@k to mean anything —
+    see the module-load guard below."""
+    from .vector import q24_cosine_topk
+
+    ivf = ivf_query_fn(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    exact = q24_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        exact.join(ivf, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_hits"))
+    )
+    return hits.select(
+        "q_id",
+        "n_hits",
+        (F.col("n_hits") / F.lit(float(_TOP_K))).alias("recall"),
+    )
+
+
+_Q145_ORACLE = _recall_oracle(_Q59_ORACLE)
 
 
 @query("q145_ann_recall", oracle=_Q145_ORACLE, tags=("vector", "similarity", "EXT"))
@@ -400,21 +430,9 @@ def q145_ann_recall(spark, sf_dir):
     expensive O(N) scan), which is precisely what this query shape is:
     a bounded query set joined against both result sets.
     """
-    from .vector import q24_cosine_topk
     from .vector2 import q59_ivf_topk
 
-    ivf = q59_ivf_topk(spark, sf_dir).select("q_id", "vec_id", F.lit(1).alias("hit"))
-    exact = q24_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
-    hits = (
-        exact.join(ivf, ["q_id", "vec_id"], "left")
-        .groupBy("q_id")
-        .agg(F.count("hit").alias("n_hits"))
-    )
-    return hits.select(
-        "q_id",
-        "n_hits",
-        (F.col("n_hits") / F.lit(float(_TOP_K))).alias("recall"),
-    )
+    return _recall_report(spark, sf_dir, q59_ivf_topk)
 
 
 # --------------------------------------------------------------------------
@@ -970,16 +988,16 @@ def q150_incremental_vector_dedup_ivf(spark, sf_dir):
 # q148 (cell balance).
 # --------------------------------------------------------------------------
 
-_Q155_ORACLE = f"""
-WITH ivf AS (SELECT q_id, vec_id FROM ({_Q147_ORACLE})),
-exact AS (SELECT q_id, vec_id FROM ({_Q24_ORACLE})),
-hits AS (
-  SELECT e.q_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits
-  FROM exact e LEFT JOIN ivf i ON i.q_id = e.q_id AND i.vec_id = e.vec_id
-  GROUP BY e.q_id
-)
-SELECT q_id, n_hits, n_hits / {float(_TOP_K)} AS recall FROM hits
-"""
+# Recall@k only means something if the IVF candidate cut equals the
+# exact side's k. q147 cuts at _PQ_TOP_K, the exact side at _TOP_K —
+# fail at import time if someone retunes one without the other.
+if _PQ_TOP_K != _TOP_K:  # pragma: no cover - config drift guard
+    raise ValueError(
+        f"q155 recall denominator mismatch: _PQ_TOP_K={_PQ_TOP_K} != "
+        f"_TOP_K={_TOP_K}; recall@k needs both sides cut at the same k"
+    )
+
+_Q155_ORACLE = _recall_oracle(_Q147_ORACLE)
 
 
 @query("q155_ann_recall_trained", oracle=_Q155_ORACLE, tags=("vector", "similarity", "EXT"))
@@ -991,22 +1009,8 @@ def q155_ann_recall_trained(spark, sf_dir):
     moves 0.10 (sample codebook, q145) -> 0.225 (trained, here) at
     identical probe cost — 2.25x from two Lloyd rounds. Both absolute
     numbers are nprobe=1 on weakly-clustered data; the nprobe dial
-    (q150) is how production buys the rest. Same composition shape as
-    q145; the exact side is the bounded 8-query sample.
+    (q150) is how production buys the rest. Same composition (shared
+    _recall_report helper) as q145; the exact side is the bounded
+    8-query sample.
     """
-    from .vector import q24_cosine_topk
-
-    ivf = q147_ivf_trained_topk(spark, sf_dir).select(
-        "q_id", "vec_id", F.lit(1).alias("hit")
-    )
-    exact = q24_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
-    hits = (
-        exact.join(ivf, ["q_id", "vec_id"], "left")
-        .groupBy("q_id")
-        .agg(F.count("hit").alias("n_hits"))
-    )
-    return hits.select(
-        "q_id",
-        "n_hits",
-        (F.col("n_hits") / F.lit(float(_TOP_K))).alias("recall"),
-    )
+    return _recall_report(spark, sf_dir, q147_ivf_trained_topk)
