@@ -83,6 +83,7 @@ HEADLINE = [
     "q154_split_balance",
     "q155_ann_recall_trained",
     "q156_bpe_compression",
+    "q157_ann_recall_sq8",
 ]
 
 

