@@ -123,12 +123,12 @@ try:  # Spark 4.1+: Arrow-native UDFs skip the pandas conversion layer
         import pyarrow.compute as pc
 
         total = pc.utf8_length(text)
-        digits = pc.utf8_length(pc.replace_substring_regex(text, r"[0-9]", ""))
+        non_digits = pc.utf8_length(pc.replace_substring_regex(text, r"[0-9]", ""))
         return pc.if_else(
             pc.equal(total, 0),
             pa.scalar(0.0, type=pa.float64()),
             pc.divide(
-                pc.cast(pc.subtract(total, digits), pa.float64()),
+                pc.cast(pc.subtract(total, non_digits), pa.float64()),
                 pc.cast(total, pa.float64()),
             ),
         )

@@ -1,9 +1,9 @@
 """Import every query module so REGISTRY is fully populated.
 
-Numbering note: ids run q01-q122 with q62 absent — the id was skipped
-when q58-q66 were authored as a batch and was never assigned; 121
-queries total. Coverage accounting should count registry entries, not
-the max id.
+Numbering note: q62 is absent — the id was skipped when q58-q66 were
+authored as a batch and was never assigned. Coverage accounting must
+use ``len(REGISTRY)`` (the source of truth), never the max id or any
+hard-coded count.
 """
 
 from .registry import REGISTRY, QuerySpec, query  # noqa: F401

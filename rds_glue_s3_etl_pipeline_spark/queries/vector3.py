@@ -988,13 +988,31 @@ def q150_incremental_vector_dedup_ivf(spark, sf_dir):
 # q148 (cell balance).
 # --------------------------------------------------------------------------
 
-# Recall@k only means something if the IVF candidate cut equals the
-# exact side's k. q147 cuts at _PQ_TOP_K, the exact side at _TOP_K —
-# fail at import time if someone retunes one without the other.
+# Recall@k only means something if the approximate side's candidate
+# cut equals the exact side's k AND both sides score the same query
+# set. q147 cuts at _PQ_TOP_K, q136 (scale5) at _SQ_TOP_K over
+# _SQ_N_QUERIES queries; the exact side uses _TOP_K/_N_QUERIES — fail
+# at import time if anyone retunes one without the others, otherwise
+# q145/q155/q157's recall denominators silently go wrong.
+from .scale5 import _SQ_N_QUERIES, _SQ_TOP_K  # noqa: E402
+from .vector import _N_QUERIES  # noqa: E402
+
 if _PQ_TOP_K != _TOP_K:  # pragma: no cover - config drift guard
     raise ValueError(
         f"q155 recall denominator mismatch: _PQ_TOP_K={_PQ_TOP_K} != "
         f"_TOP_K={_TOP_K}; recall@k needs both sides cut at the same k"
+    )
+if _SQ_TOP_K != _TOP_K or _SQ_N_QUERIES != _N_QUERIES:  # pragma: no cover
+    raise ValueError(
+        f"q157 recall config mismatch: scale5 (_SQ_TOP_K={_SQ_TOP_K}, "
+        f"_SQ_N_QUERIES={_SQ_N_QUERIES}) must equal vector "
+        f"(_TOP_K={_TOP_K}, _N_QUERIES={_N_QUERIES}) for recall@k to "
+        "compare the same query set at the same cut"
+    )
+if _PQ_N_QUERIES != _N_QUERIES:  # pragma: no cover - config drift guard
+    raise ValueError(
+        f"q155 recall query-set mismatch: _PQ_N_QUERIES={_PQ_N_QUERIES} "
+        f"!= _N_QUERIES={_N_QUERIES}"
     )
 
 _Q155_ORACLE = _recall_oracle(_Q147_ORACLE)

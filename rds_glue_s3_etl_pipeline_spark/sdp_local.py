@@ -101,6 +101,23 @@ def run_pipeline(
     for fl in registry.flows:
         spark.catalog.dropTempView(fl.target)
 
+    declared_targets = {fl.target for fl in registry.flows}
+
+    def _is_unresolved_upstream(e: Exception) -> bool:
+        # Retry ONLY resolution failures for a view THIS pipeline
+        # declares (its upstream hasn't run yet this round). Any other
+        # exception is a genuine flow bug: re-running it each round
+        # would repeat side effects and bury the real error, so fail
+        # fast instead.
+        from pyspark.errors import AnalysisException
+
+        if not isinstance(e, AnalysisException):
+            return False
+        msg = str(e)
+        if "TABLE_OR_VIEW_NOT_FOUND" not in msg:
+            return False
+        return any(t in msg for t in declared_targets)
+
     pending = list(registry.flows)
     done: dict[str, DataFrame] = {}
     for _ in range(max_rounds):
@@ -112,7 +129,12 @@ def run_pipeline(
         for fl in pending:
             try:
                 df = fl.func()
-            except Exception as e:  # missing upstream view, most likely
+            except Exception as e:
+                if not _is_unresolved_upstream(e):
+                    raise RuntimeError(
+                        f"flow {fl.name!r} failed with a non-retryable "
+                        f"error: {type(e).__name__}: {e}"
+                    ) from e
                 errors[fl.name] = f"{type(e).__name__}: {e}"
                 still.append(fl)
                 continue
