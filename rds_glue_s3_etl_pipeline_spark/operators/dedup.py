@@ -88,6 +88,23 @@ def minhash_from_hashed_shingles(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _banded_signatures(
+    signatures: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band_id, band_hash): hash each signature band — the shared
+    bucketing step of the self-join and incremental candidate paths."""
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("band_hash"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -103,16 +120,7 @@ def lsh_candidate_pairs(
     in the number of true near-duplicates rather than quadratic in
     corpus size.
     """
-    rows = num_perm // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("band_hash"))
-        )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = _banded_signatures(signatures, id_col, num_perm, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -125,6 +133,80 @@ def lsh_candidate_pairs(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def lsh_candidate_pairs_incident(
+    signatures: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate pairs with AT LEAST ONE endpoint in ``new_ids`` — the
+    incremental-refresh shape. The banding join is driven from the new
+    side only (new × all), so band-join work is linear in the incoming
+    batch, never quadratic in the corpus; at 100 TB the "all" side's
+    banded signatures are the persisted signature store and only the
+    new batch is banded fresh. Output normalized (doc_a < doc_b,
+    distinct) so new-new pairs found in both orientations collapse.
+    """
+    banded = _banded_signatures(signatures, id_col, num_perm, bands)
+    ids = new_ids.select(F.col(new_ids.columns[0]).alias(id_col))
+    new_banded = banded.join(F.broadcast(ids), id_col, "left_semi")
+    n, a = new_banded.alias("n"), banded.alias("a")
+    return (
+        n.join(
+            a,
+            (F.col("n.band_id") == F.col("a.band_id"))
+            & (F.col("n.band_hash") == F.col("a.band_hash"))
+            & (F.col(f"n.{id_col}") != F.col(f"a.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard_edges(
+    sh: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    hash_col: str = "h",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of LSH candidate pairs:
+    intersect the hashed-shingle sets of each candidate pair and keep
+    pairs with Jaccard >= threshold. Candidate-driven, so a hot
+    shingle's fanout is bounded by the candidate list, not df²; per-doc
+    sizes are broadcast (one long per doc). Returns (doc_a, doc_b).
+    Shared by the batch staged path (queries/text.py) and the snapshot
+    refresh path (operators/corpus_snapshot.py)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col(id_col).alias("doc_a"), F.col(hash_col))
+    shb = sh.select(
+        F.col(id_col).alias("__b"), F.col(hash_col).alias("hb")
+    )
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("__b")) & (F.col(hash_col) == F.col("hb")),
+            "inner",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jacc >= threshold)
+        .select("doc_a", "doc_b")
     )
 
 

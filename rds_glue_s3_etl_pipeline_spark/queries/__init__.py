@@ -33,3 +33,4 @@ from . import scale3  # noqa: F401
 from . import scale4  # noqa: F401
 from . import scale5  # noqa: F401
 from . import jobs  # noqa: F401
+from . import corpus  # noqa: F401

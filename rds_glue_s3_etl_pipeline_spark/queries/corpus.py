@@ -1,0 +1,162 @@
+"""Corpus-snapshot queries: the materialized dedup-survivor workflow
+(operators/corpus_snapshot.py) under the driver's oracle.
+
+q159 runs the FULL lifecycle — build a snapshot from the historical
+slice, incrementally refresh it with a new batch through the
+epoch-partitioned idempotent sink, read the latest epoch back — and
+must hash-match q124's full-recompute oracle: the proof that
+snapshot+refresh is exactly equivalent to re-clustering the whole
+corpus. The module also exposes the build-once snapshot that
+q133/q134 (queries/jobs.py) read instead of recomputing survivors
+inline.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as X
+from .registry import query
+from .events3 import _Q124_ORACLE
+from .text import _JACCARD_THRESHOLD, _SHINGLE_N
+
+# Deterministic ingest split, same convention as q126: the "new" batch
+# is doc_id % 5 == 0 (~20% of the corpus), history is the rest.
+_SPLIT_MOD = 5
+
+
+def _hashed_shingles(spark, sf_dir):
+    """Distinct (doc_id, h) hashed-shingle set for the whole corpus,
+    materialized once (localCheckpoint) — signatures, sizes, and both
+    verify-join sides read it. At 100 TB the history part of this table
+    IS the persisted signature store; only the new batch is shingled
+    fresh."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        X.exploded_word_shingles(d, "text", "doc_id", _SHINGLE_N)
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _staged_edges(sh, num_perm=32, bands=32):
+    """History-internal staged edges: MinHash → banding → exact verify,
+    same parameters as staged_near_dup_edges (q108 proves the staging
+    oracle-identical to the all-pairs join)."""
+    from ..operators.dedup import (
+        exact_jaccard_edges,
+        lsh_candidate_pairs,
+        minhash_from_hashed_shingles,
+    )
+
+    sig = minhash_from_hashed_shingles(sh, num_perm=num_perm)
+    cand = lsh_candidate_pairs(sig, num_perm=num_perm, bands=bands)
+    return exact_jaccard_edges(sh, cand, _JACCARD_THRESHOLD)
+
+
+def _incident_edges(sh, new_ids, num_perm=32, bands=32):
+    """Edges with at least one NEW endpoint: the banding join is driven
+    from the new side (new x all), linear in the batch."""
+    from ..operators.dedup import (
+        exact_jaccard_edges,
+        lsh_candidate_pairs_incident,
+        minhash_from_hashed_shingles,
+    )
+
+    sig = minhash_from_hashed_shingles(sh, num_perm=num_perm)
+    cand = lsh_candidate_pairs_incident(
+        sig, new_ids, num_perm=num_perm, bands=bands
+    )
+    return exact_jaccard_edges(sh, cand, _JACCARD_THRESHOLD)
+
+
+@query("q159_corpus_snapshot", oracle=_Q124_ORACLE, tags=("dedup", "pipeline", "EXT"))
+def q159_corpus_snapshot(spark, sf_dir):
+    """The materialized-survivor lifecycle end-to-end, hash-verified
+    against q124's FULL-RECOMPUTE oracle:
+
+      1. BUILD: cluster the historical slice (doc_id % 5 != 0) with
+         staged-LSH edges and persist the assignment as epoch 0 via the
+         idempotent epoch sink (dynamic partition overwrite).
+      2. REFRESH: fold the new batch (doc_id % 5 == 0) in as epoch 1 —
+         incident edges only (new x all, banding driven from the new
+         side) plus star edges encoding the stored history clustering;
+         star-contraction CC over that union re-labels exactly as a
+         full recompute would (bridges merge clusters, longer new docs
+         replace old survivors).
+      3. READ: take the latest epoch and derive the survivor table.
+
+    The oracle is _Q124_ORACLE verbatim — if snapshot+refresh drifted
+    from re-clustering the whole corpus by even one row, the hash
+    breaks. This is the query a production corpus build RUNS per ingest
+    batch; q133/q134 read the same snapshot instead of recomputing.
+
+    Scale: no stage touches history x history after the build — refresh
+    work is (batch x corpus) through the band index plus the star-edge
+    scan of the assignment table (3 longs/doc). Epoch replay is
+    idempotent (tests/test_corpus_snapshot.py replays epoch 1 twice).
+    """
+    from ..operators.corpus_snapshot import (
+        build_snapshot,
+        read_snapshot_assigned,
+        refresh_snapshot,
+        survivors,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    is_new = F.col("doc_id") % _SPLIT_MOD == 0
+    sh = _hashed_shingles(spark, sf_dir)
+    sh_hist = sh.filter(F.col("doc_id") % _SPLIT_MOD != 0)
+
+    snapshot_dir = tempfile.mkdtemp(prefix="q159_snapshot_")
+    build_snapshot(
+        docs.filter(~is_new), _staged_edges(sh_hist), snapshot_dir, epoch_id=0
+    )
+    new_ids = docs.filter(is_new).select("doc_id")
+    refresh_snapshot(
+        spark,
+        snapshot_dir,
+        docs.filter(is_new),
+        _incident_edges(sh, new_ids),
+        epoch_id=1,
+    )
+    return survivors(read_snapshot_assigned(spark, snapshot_dir))
+
+
+# --------------------------------------------------------------------------
+# Build-once snapshot shared by the corpus-build composites (q133/q134):
+# the production pattern the q133 docstring promised — materialize the
+# survivor table once per corpus snapshot, every downstream reads it.
+# --------------------------------------------------------------------------
+
+_SNAPSHOT_CACHE: dict[str, str] = {}
+
+
+def corpus_survivor_snapshot(spark, sf_dir):
+    """Survivor DataFrame (cluster_id, kept_doc_id, kept_n_chars,
+    n_members) read from the materialized full-corpus snapshot,
+    building it on first use per (process, sf_dir). Downstream
+    composites (q133 export, q134 mix report) share ONE clustering
+    pass this way instead of each recomputing q124 inline."""
+    from ..operators.corpus_snapshot import (
+        build_snapshot,
+        read_snapshot_assigned,
+        survivors,
+    )
+    from .text import staged_near_dup_edges
+
+    key = os.path.abspath(sf_dir)
+    cached = _SNAPSHOT_CACHE.get(key)
+    if cached is None or not os.path.isdir(cached):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        edges = staged_near_dup_edges(spark, sf_dir)
+        snapshot_dir = tempfile.mkdtemp(prefix="corpus_snapshot_")
+        build_snapshot(docs, edges, snapshot_dir, epoch_id=0)
+        _SNAPSHOT_CACHE[key] = snapshot_dir
+        cached = snapshot_dir
+    return survivors(read_snapshot_assigned(spark, cached))

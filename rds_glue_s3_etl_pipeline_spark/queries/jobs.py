@@ -145,16 +145,17 @@ def q133_pretrain_export(spark, sf_dir):
     only orderings are the per-cluster survivor window (bounded
     clusters) and the range-partitioned prefix sum (operators/
     prefix.py) for shard ids. At 100 TB this query IS the export job;
-    writing it is write_token_balanced_shards on the result. (Here the
-    survivor pick is recomputed inline so the query is self-contained;
-    a production pipeline materializes q124's survivor table once per
-    corpus snapshot and both this export and q134's report read it.)
+    writing it is write_token_balanced_shards on the result. Survivors
+    come from the MATERIALIZED corpus snapshot (queries/corpus.py:
+    corpus_survivor_snapshot — built once per corpus via the
+    epoch-partitioned idempotent sink, shared with q134, refreshed
+    incrementally by the q159 path) rather than a per-query recompute.
     """
     from ..functions import text as X
     from ..operators.prefix import global_running_sum
-    from .events3 import q124_dedup_keep_best
+    from .corpus import corpus_survivor_snapshot
 
-    kept = q124_dedup_keep_best(spark, sf_dir).select(
+    kept = corpus_survivor_snapshot(spark, sf_dir).select(
         F.col("kept_doc_id").alias("doc_id")
     )
     d = load(spark, sf_dir, "documents").join(kept, "doc_id")
@@ -214,15 +215,18 @@ def q134_corpus_mix_report(spark, sf_dir):
     (every non-duplicate keeps itself), so it hash-joins on doc_id —
     NOT a broadcast; only q124's internal cluster map (dup subset) is
     broadcast-sized. A collapsed survival_rate flags a source as
-    duplicate-heavy before any tokens are spent on it."""
-    from .events3 import q124_dedup_keep_best
+    duplicate-heavy before any tokens are spent on it. Survivors are
+    READ from the materialized corpus snapshot (shared with q133 via
+    corpus_survivor_snapshot) — one clustering pass serves every
+    downstream composite."""
+    from .corpus import corpus_survivor_snapshot
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     pre = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs_pre"),
         F.sum("n_chars").alias("chars_pre"),
     )
-    kept = q124_dedup_keep_best(spark, sf_dir).select(
+    kept = corpus_survivor_snapshot(spark, sf_dir).select(
         F.col("kept_doc_id").alias("doc_id")
     )
     post = (

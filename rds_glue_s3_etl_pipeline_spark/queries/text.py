@@ -249,9 +249,11 @@ def staged_near_dup_edges(spark, sf_dir):
     Shared edge source for q108 (clusters) and q124 (survivor pick).
     Returns (doc_a, doc_b).
     """
-    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
-
-    from ..operators.dedup import minhash_from_hashed_shingles
+    from ..operators.dedup import (
+        exact_jaccard_edges,
+        lsh_candidate_pairs,
+        minhash_from_hashed_shingles,
+    )
 
     d = load(spark, sf_dir, "documents")
     # Materialize the distinct (doc, shingle-hash) set ONCE: four DAG
@@ -270,28 +272,6 @@ def staged_near_dup_edges(spark, sf_dir):
     )
     sig = minhash_from_hashed_shingles(sh, num_perm=32)
     cand = lsh_candidate_pairs(sig, num_perm=32, bands=32)
-
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # The verify join is candidate-driven, so no df cap is needed here:
     # a hot shingle's fanout is bounded by the candidate list, not df².
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    shb = sh.select(F.col("doc_id").alias("__b"), F.col("h").alias("hb"))
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(
-            shb,
-            (F.col("doc_b") == F.col("__b")) & (F.col("h") == F.col("hb")),
-            "inner",
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jacc = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jacc >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+    return exact_jaccard_edges(sh, cand, _JACCARD_THRESHOLD)

@@ -1,0 +1,178 @@
+"""Corpus-snapshot lifecycle tests (operators/corpus_snapshot.py):
+exactly-once epoch replay, incremental == full-recompute equivalence
+on hand-built corpora, cluster bridging, and survivor replacement.
+
+The sf-fixture equivalence at scale is q159's oracle (hash vs q124's
+full-recompute SQL); these tests pin the SEMANTICS on tiny corpora
+where every cluster decision is checkable by hand.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_glue_s3_etl_pipeline_spark.operators.corpus_snapshot import (
+    assigned_table,
+    build_snapshot,
+    read_snapshot_assigned,
+    refresh_snapshot,
+    survivors,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+def _edges(spark, rows):
+    if not rows:
+        return spark.createDataFrame([], "doc_a long, doc_b long")
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def _surv_map(df):
+    return {
+        r["cluster_id"]: (r["kept_doc_id"], r["kept_n_chars"], r["n_members"])
+        for r in df.collect()
+    }
+
+
+def test_build_then_read_roundtrip(spark):
+    # history: {1,2} a cluster (2 longer), {3} singleton
+    out = tempfile.mkdtemp(prefix="snap_rt_")
+    build_snapshot(
+        _docs(spark, [(1, 10), (2, 20), (3, 5)]),
+        _edges(spark, [(1, 2)]),
+        out,
+    )
+    got = _surv_map(survivors(read_snapshot_assigned(spark, out)))
+    assert got == {1: (2, 20, 2), 3: (3, 5, 1)}
+
+
+def test_refresh_bridges_and_replaces(spark):
+    # history: clusters {1,2} and {4,5}; new doc 9 links 2 and 4 ->
+    # one merged cluster labeled 1, and 9 (longest) becomes survivor.
+    out = tempfile.mkdtemp(prefix="snap_bridge_")
+    build_snapshot(
+        _docs(spark, [(1, 10), (2, 20), (4, 15), (5, 12)]),
+        _edges(spark, [(1, 2), (4, 5)]),
+        out,
+    )
+    refresh_snapshot(
+        spark,
+        out,
+        _docs(spark, [(9, 99)]),
+        _edges(spark, [(9, 2), (9, 4)]),
+        epoch_id=1,
+    )
+    got = _surv_map(survivors(read_snapshot_assigned(spark, out)))
+    assert got == {1: (9, 99, 5)}
+
+
+def test_refresh_equals_full_recompute(spark):
+    # Random-ish small corpus: incremental refresh must equal building
+    # from scratch over the union graph.
+    hist_docs = [(i, 10 + i) for i in range(1, 8)]
+    hist_edges = [(1, 3), (5, 6)]
+    new_docs = [(10, 9), (11, 40)]
+    new_edges = [(10, 6), (10, 11)]  # 10 joins {5,6} and pulls 11 in
+
+    out = tempfile.mkdtemp(prefix="snap_eq_")
+    build_snapshot(_docs(spark, hist_docs), _edges(spark, hist_edges), out)
+    refresh_snapshot(
+        spark, out, _docs(spark, new_docs), _edges(spark, new_edges), epoch_id=1
+    )
+    inc = _surv_map(survivors(read_snapshot_assigned(spark, out)))
+
+    full = _surv_map(
+        survivors(
+            assigned_table(
+                _docs(spark, hist_docs + new_docs),
+                _edges(spark, hist_edges + new_edges),
+            )
+        )
+    )
+    assert inc == full
+    assert inc[5] == (11, 40, 4)  # {5,6,10,11}: new doc 11 wins
+
+
+def test_epoch_replay_is_idempotent(spark):
+    # Replay refresh epoch 1 twice (restart between write and commit):
+    # the partition is REWRITTEN, not appended — state identical.
+    out = tempfile.mkdtemp(prefix="snap_replay_")
+    build_snapshot(
+        _docs(spark, [(1, 10), (2, 20)]), _edges(spark, [(1, 2)]), out
+    )
+    for _ in range(2):  # same epoch id, twice
+        refresh_snapshot(
+            spark,
+            out,
+            _docs(spark, [(7, 70)]),
+            _edges(spark, [(7, 1)]),
+            epoch_id=1,
+        )
+    state = read_snapshot_assigned(spark, out)
+    assert state.count() == 3  # not 6: replay overwrote its own epoch
+    got = _surv_map(survivors(state))
+    assert got == {1: (7, 70, 3)}
+    # both epochs still present; reader picked the max
+    eps = {
+        r["__epoch"]
+        for r in spark.read.parquet(out).select("__epoch").distinct().collect()
+    }
+    assert eps == {0, 1}
+
+
+def test_empty_refresh_batch_keeps_state(spark):
+    out = tempfile.mkdtemp(prefix="snap_empty_")
+    build_snapshot(
+        _docs(spark, [(1, 10), (2, 20), (3, 5)]), _edges(spark, [(1, 2)]), out
+    )
+    before = _surv_map(survivors(read_snapshot_assigned(spark, out)))
+    refresh_snapshot(
+        spark, out, _docs(spark, []), _edges(spark, []), epoch_id=1
+    )
+    after = _surv_map(survivors(read_snapshot_assigned(spark, out)))
+    assert after == before
+
+
+def test_incident_candidates_cover_new_pairs(spark):
+    # lsh_candidate_pairs_incident must find new-history AND new-new
+    # pairs, and never propose history-history pairs.
+    from rds_glue_s3_etl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_incident,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (1, base * 3),
+        (2, base * 3 + "tail one"),  # hist dup of 1
+        (10, base * 3 + "tail two"),  # new, dup of 1/2
+        (11, base * 3 + "tail two more"),  # new, dup of 10
+        (12, "completely different words entirely unrelated content here " * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(docs, num_perm=32, shingle_n=5)
+    new_ids = spark.createDataFrame([(10,), (11,), (12,)], "doc_id long")
+
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs_incident(
+            sig, new_ids, num_perm=32, bands=32
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, num_perm=32, bands=32).collect()
+    }
+    new = {10, 11, 12}
+    # exactly the full candidate set restricted to pairs touching new
+    assert inc == {p for p in full if p[0] in new or p[1] in new}
+    assert all(p[0] in new or p[1] in new for p in inc)
+    assert (1, 10) in inc and (10, 11) in inc
+    assert (1, 2) not in inc  # history-history never proposed
