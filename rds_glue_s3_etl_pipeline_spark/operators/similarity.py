@@ -232,3 +232,73 @@ def spherical_kmeans_codebook(
         assigned = kmeans_assign(embeddings, cent, id_col, vec_col)
         cent = kmeans_update(assigned, vec_col).localCheckpoint(eager=True)
     return cent
+
+
+# --------------------------------------------------------------------------
+# Product-quantization training: per-subspace L2 Lloyd rounds.
+# --------------------------------------------------------------------------
+
+
+def pq_encode(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Encode each subvector as its nearest sub-centroid — (vec_id, m,
+    code). ``subs`` is (vec_id, m, sv: array<double>), ``codebooks`` is
+    (m, c_id, cv). The codebook is a fixed M x KSUB rows and is
+    BROADCAST; encoding is one map-side pass over the corpus (the
+    argmin window partitions by (vec_id, m), never a corpus-wide
+    shuffle key). L2 distances round to 4dp before the argmin with
+    c_id tie-break — the cross-engine determinism discipline, same as
+    kmeans_assign's cosine rounding.
+    """
+    dist = F.round(F.sqrt(V.l2_distance_sq(F.col("sv"), F.col("cv"))), 4)
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("dist"), F.asc("c_id"))
+    return (
+        subs.join(F.broadcast(codebooks), "m")
+        .select("vec_id", "m", "sv", "c_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("c_id").alias("code"), "sv")
+    )
+
+
+def pq_update(encoded: DataFrame) -> DataFrame:
+    """One per-subspace Lloyd mean update: new sub-centroid (m, c_id,
+    cv) = per-dimension mean of the subvectors encoded to it, with the
+    bit-reproducible mean discipline of kmeans_update (6dp round →
+    exact decimal sum → string hop → double ÷ count). Sub-cells that
+    lost every member disappear (codebooks may shrink). Aggregate
+    state is bounded by M x KSUB x DSUB — broadcast-sized however big
+    the corpus."""
+    from ..queries.registry import DEC
+
+    ex = encoded.select(
+        "m", F.col("code").alias("c_id"), F.posexplode("sv").alias("d", "x")
+    )
+    upd = ex.groupBy("m", "c_id", "d").agg(
+        (
+            F.sum(F.round(F.col("x"), 6).cast(DEC)).cast("string").cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    return upd.groupBy("m", "c_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mu"))), lambda s: s["mu"]
+        ).alias("cv")
+    )
+
+
+def pq_train_codebooks(
+    subs: DataFrame, init_codebooks: DataFrame, iters: int = 2
+) -> DataFrame:
+    """Train PQ sub-codebooks: ``iters`` rounds of per-subspace L2
+    k-means (encode + mean update) from the sampled initialization —
+    the training swap q146's docstring documents. All M subspaces
+    train in the SAME pass (m is just a grouping column), so the
+    per-round cost is one broadcast-codebook scan of the subvector
+    table plus a bounded M x KSUB x DSUB aggregation; the codebook is
+    localCheckpoint'd per round (M x KSUB rows) to truncate lineage.
+    Returns (m, c_id, cv)."""
+    cent = init_codebooks
+    for _ in range(iters):
+        enc = pq_encode(subs, cent)
+        cent = pq_update(enc).localCheckpoint(eager=True)
+    return cent

@@ -530,20 +530,20 @@ def q146_pq_topk(spark, sf_dir):
             "cv"
         ),
     )
-    dist = F.round(F.sqrt(V.l2_distance_sq(F.col("sv"), F.col("cv"))), 4)
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(
-        F.asc("dist"), F.asc("c_id")
-    )
-    enc = (
-        subs.join(F.broadcast(csubs), "m")
-        .select("vec_id", "m", "c_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("c_id").alias("code"))
-    )
+    from ..operators.similarity import pq_encode
+
+    enc = pq_encode(subs, csubs).select("vec_id", "m", "code")
     q = e.filter(F.col("vec_id") < _PQ_N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
+    return _pq_adc_topk(enc, csubs, q)
+
+
+def _pq_adc_topk(enc, csubs, q):
+    """ADC scoring shared by the sampled (q146) and trained (q160)
+    PQ paths: per-query LUT (queries x M x KSUB inner products, a
+    broadcast artifact), broadcast-LUT join against the codes,
+    exact-decimal sum of the parts, bounded per-query top-k."""
     lut = (
         q.crossJoin(F.broadcast(csubs))
         .select(
