@@ -887,3 +887,65 @@ def test_bpe_apply_matches_reference_encode(spark):
             out[tuple(new)] = out.get(tuple(new), 0) + f
         vocab = out
     assert got == vocab
+
+
+def test_bpe_compression_values_match_sequential_encoder(spark, sf_dir):
+    """Value-level verification of q156 (rows-only for the driver):
+    collect its single report row and recompute every value with the
+    sequential reference — train the same number of merges in plain
+    Python over the collected vocabulary, re-encode it, and compare
+    symbol masses and the compression ratio exactly."""
+    from rds_glue_s3_etl_pipeline_spark.catalog import load
+    from rds_glue_s3_etl_pipeline_spark.functions import text as X
+    from rds_glue_s3_etl_pipeline_spark.queries.text4 import (
+        _BPE_MERGES,
+        q156_bpe_compression,
+    )
+
+    got = q156_bpe_compression(spark, sf_dir).collect()
+    assert len(got) == 1
+    got = got[0]
+
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(X.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .collect()
+    )
+    vocab = {tuple(r["tok"]): r["f"] for r in words}
+    n_occ = sum(vocab.values())
+    before = sum(len(s) * f for s, f in vocab.items())
+
+    # sequential train+encode: _bpe_reference's loop, keeping the vocab
+    cur = dict(vocab)
+    merges = []
+    for _ in range(_BPE_MERGES):
+        counts = {}
+        for syms, f in cur.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        out = {}
+        for syms, f in cur.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            out[tuple(new)] = out.get(tuple(new), 0) + f
+        cur = out
+    after = sum(len(s) * f for s, f in cur.items())
+
+    assert got["n_word_occurrences"] == n_occ
+    assert got["symbols_before"] == before
+    assert got["symbols_after"] == after
+    assert got["n_merges"] == len(merges)
+    assert got["compression"] == round(after / before, 6)
