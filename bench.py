@@ -87,6 +87,7 @@ HEADLINE = [
     "q158_pq_recall",
     "q159_corpus_snapshot",
     "q160_pq_trained_topk",
+    "q161_snapshot_stream_ingest",
 ]
 
 

@@ -41,6 +41,8 @@ dataflow to a corpus-scale survivor store.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -161,3 +163,26 @@ def refresh_snapshot(
         new_docs.select("doc_id", "n_chars")
     )
     write_snapshot_epoch(assigned_table(docs, edges), snapshot_dir, epoch_id)
+
+
+def prune_snapshot_epochs(
+    spark: SparkSession, snapshot_dir: str, keep_last: int = 2
+) -> list[int]:
+    """Retention for the epoch store: drop all but the newest
+    ``keep_last`` epoch partitions (each epoch is a FULL state, so
+    older epochs are only needed as replay anchors for in-flight
+    refreshes — two generations is the safe default). Returns the
+    pruned epoch ids. Directory removal per partition, no data
+    rewrite — the same cheap retention a table format's VACUUM does."""
+    import shutil
+
+    df = spark.read.parquet(snapshot_dir)
+    epochs = sorted(
+        r["__epoch"] for r in df.select("__epoch").distinct().collect()
+    )
+    to_drop = epochs[:-keep_last] if keep_last > 0 else epochs
+    for e in to_drop:
+        shutil.rmtree(
+            os.path.join(snapshot_dir, f"__epoch={e}"), ignore_errors=True
+        )
+    return to_drop

@@ -134,6 +134,97 @@ def q159_corpus_snapshot(spark, sf_dir):
 # survivor table once per corpus snapshot, every downstream reads it.
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# q161: the snapshot refresh as a STREAMING consumer — ingest batches
+# arrive as files, foreachBatch folds each into the snapshot through
+# the exactly-once epoch sink, and the converged state must STILL
+# hash-match the full-recompute oracle.
+# --------------------------------------------------------------------------
+
+
+@query("q161_snapshot_stream_ingest", oracle=_Q124_ORACLE, tags=("dedup", "streaming", "EXT"))
+def q161_snapshot_stream_ingest(spark, sf_dir):
+    """Streaming corpus ingest end-to-end: the new-docs slice arrives
+    as THREE parquet files consumed one per micro-batch
+    (maxFilesPerTrigger=1); each foreachBatch invocation refreshes the
+    snapshot incrementally (incident edges vs everything SEEN so far —
+    membership read from the snapshot state itself, the way a
+    production signature store is keyed) under epoch = batch+1. After
+    the stream drains, the survivor table must hash-match q124's
+    full-recompute oracle — multi-batch incremental ingest ≡ one-shot
+    re-clustering, which is the exactly-once + monotone-merge claim of
+    the whole snapshot design, now verified through the actual
+    Structured Streaming machinery (T6/T9) instead of a hand loop.
+
+    Scale: per batch, work is (batch × seen) through the band index;
+    the snapshot read is one partition (latest epoch < target), and a
+    batch replay after a crash rewrites its own epoch partition.
+    """
+    import os as _os
+
+    from ..operators.corpus_snapshot import (
+        build_snapshot,
+        read_snapshot_assigned,
+        refresh_snapshot,
+        survivors,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    is_new = F.col("doc_id") % _SPLIT_MOD == 0
+    sh = _hashed_shingles(spark, sf_dir)
+
+    snapshot_dir = tempfile.mkdtemp(prefix="q161_snapshot_")
+    build_snapshot(
+        docs.filter(~is_new),
+        _staged_edges(sh.filter(F.col("doc_id") % _SPLIT_MOD != 0)),
+        snapshot_dir,
+        epoch_id=0,
+    )
+
+    # Three deterministic ingest files, written in arrival order.
+    feed_dir = tempfile.mkdtemp(prefix="q161_feed_")
+    new_docs = docs.filter(is_new)
+    for i, residue in enumerate((0, 5, 10)):
+        (
+            new_docs.filter(F.col("doc_id") % 15 == residue)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(feed_dir, f"batch_{i}"))
+        )
+
+    def fold(batch_df, epoch_id):
+        target = int(epoch_id) + 1  # epoch 0 is the build
+        base = read_snapshot_assigned(spark, snapshot_dir, before_epoch=target)
+        batch_ids = batch_df.select("doc_id")
+        seen_or_batch = base.select("doc_id").union(batch_ids)
+        sh_seen = sh.join(seen_or_batch, "doc_id", "left_semi")
+        refresh_snapshot(
+            spark,
+            snapshot_dir,
+            batch_df.select("doc_id", "n_chars"),
+            _incident_edges(sh_seen, batch_ids),
+            epoch_id=target,
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_os.path.join(feed_dir, "batch_*"))
+    )
+    chk = tempfile.mkdtemp(prefix="q161_chk_")
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return survivors(read_snapshot_assigned(spark, snapshot_dir))
+
+
 _SNAPSHOT_CACHE: dict[str, str] = {}
 
 

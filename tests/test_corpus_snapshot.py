@@ -176,3 +176,33 @@ def test_incident_candidates_cover_new_pairs(spark):
     assert all(p[0] in new or p[1] in new for p in inc)
     assert (1, 10) in inc and (10, 11) in inc
     assert (1, 2) not in inc  # history-history never proposed
+
+
+def test_prune_snapshot_epochs(spark):
+    from rds_glue_s3_etl_pipeline_spark.operators.corpus_snapshot import (
+        prune_snapshot_epochs,
+    )
+
+    out = tempfile.mkdtemp(prefix="snap_prune_")
+    build_snapshot(
+        _docs(spark, [(1, 10), (2, 20)]), _edges(spark, [(1, 2)]), out
+    )
+    for e in (1, 2, 3):
+        refresh_snapshot(
+            spark,
+            out,
+            _docs(spark, [(100 + e, 5)]),
+            _edges(spark, []),
+            epoch_id=e,
+        )
+    dropped = prune_snapshot_epochs(spark, out, keep_last=2)
+    assert dropped == [0, 1]
+    left = {
+        r["__epoch"]
+        for r in spark.read.parquet(out).select("__epoch").distinct().collect()
+    }
+    assert left == {2, 3}
+    # reader still sees the full latest state
+    got = _surv_map(survivors(read_snapshot_assigned(spark, out)))
+    assert got[1] == (2, 20, 2)
+    assert set(got) == {1, 101, 102, 103}
