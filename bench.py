@@ -88,6 +88,7 @@ HEADLINE = [
     "q159_corpus_snapshot",
     "q160_pq_trained_topk",
     "q161_snapshot_stream_ingest",
+    "q162_semantic_dedup_3level",
 ]
 
 

@@ -230,3 +230,187 @@ def q158_pq_recall(spark, sf_dir):
         (F.col("n_hits_sampled") / F.lit(float(_TOP_K))).alias("recall_sampled"),
         (F.col("n_hits_trained") / F.lit(float(_TOP_K))).alias("recall_trained"),
     )
+
+
+# --------------------------------------------------------------------------
+# q162: SemDeDup, THREE-level blocking — the registered form of the
+# hierarchy-deepening rule the 100x probe demanded. SCALE.md's 100x
+# table measured q149's fixed (cell, subcell) grid at 12.4x on 10x
+# data (within-block pairs ~ (N/256)^2); the production rule is "add
+# levels until blocks are bounded". This query IS that next level:
+# same trained coarse codebook, same per-cell sub-codebook, plus a
+# per-(cell, subcell) sub-sub-codebook — pairs form in blocks of
+# ~N/(16*8*4) at assignment cost of 16+8+4 scores per vector.
+# --------------------------------------------------------------------------
+
+from pyspark.sql import Window
+from .vector3 import (
+    _KM_ITERS,
+    _SEM_THRESHOLD,
+    _SUB_K,
+    _km_ctes,
+    _survivor_groups,
+)
+from ..operators.similarity import spherical_kmeans
+
+_SUB2_K = 4
+
+_Q162_ORACLE = f"""
+WITH RECURSIVE {_km_ctes(16, _KM_ITERS)},
+fin AS (
+  SELECT a.vec_id, a.c_id, a.cos_sim, e.v
+  FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
+),
+sub AS (
+  SELECT c_id, vec_id AS s_id, v AS sv FROM (
+    SELECT c_id, vec_id, v,
+           ROW_NUMBER() OVER (PARTITION BY c_id
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM fin
+  ) WHERE rn <= {_SUB_K}
+),
+sa AS (
+  SELECT vec_id, c_id, s_id, v FROM (
+    SELECT f.vec_id, f.c_id, s.s_id, f.v,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(f.v, s.sv), 4) DESC,
+                                       s.s_id) AS rn
+    FROM fin f JOIN sub s ON s.c_id = f.c_id
+  ) WHERE rn = 1
+),
+sub2 AS (
+  SELECT c_id, s_id, vec_id AS s2_id, v AS s2v FROM (
+    SELECT c_id, s_id, vec_id, v,
+           ROW_NUMBER() OVER (PARTITION BY c_id, s_id
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM sa
+  ) WHERE rn <= {_SUB2_K}
+),
+sa2 AS (
+  SELECT vec_id, c_id, s_id, s2_id FROM (
+    SELECT a.vec_id, a.c_id, a.s_id, s.s2_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(a.v, s.s2v), 4) DESC,
+                                       s.s2_id) AS rn
+    FROM sa a JOIN sub2 s ON s.c_id = a.c_id AND s.s_id = a.s_id
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM sa2 a JOIN sa2 b
+    ON a.c_id = b.c_id AND a.s_id = b.s_id AND a.s2_id = b.s2_id
+   AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= {_SEM_THRESHOLD}
+),
+sym AS (
+  SELECT va AS a, vb AS b FROM pairs
+  UNION
+  SELECT vb, va FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cl AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
+members AS (
+  SELECT cl.cluster_id, cl.vec_id, f.cos_sim AS cent_cos
+  FROM cl JOIN fin f ON f.vec_id = cl.vec_id
+)
+SELECT m.cluster_id, m.vec_id AS kept_vec_id, m.cent_cos AS kept_cent_cos,
+       s.n_members
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY cent_cos ASC, vec_id) AS rn
+      FROM members) m
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM members GROUP BY cluster_id) s USING (cluster_id)
+WHERE m.rn = 1
+"""
+
+
+def _sub_assign(df, block_cols, k_sub, id_out):
+    """One hierarchy level: per existing block, take the first k_sub
+    members (md5 order — the seedless deterministic sample every
+    codebook consumer uses) as sub-centroids and assign each member to
+    its nearest (4dp cosine, id tie-break). The sub-codebook is
+    bounded by (#blocks x k_sub) rows and broadcast. Returns df plus
+    the ``id_out`` block column."""
+    w_pick = Window.partitionBy(*block_cols).orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+    )
+    sub = (
+        df.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") <= k_sub)
+        .select(
+            *block_cols,
+            F.col("vec_id").alias(id_out),
+            F.col("embedding").alias("__sv"),
+            F.col("nrm").alias("__snrm"),
+        )
+    )
+    scos = F.round(
+        V.dot(F.col("embedding"), F.col("__sv"))
+        / (F.col("nrm") * F.col("__snrm")),
+        4,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("__scos"), F.asc(id_out)
+    )
+    return (
+        df.join(F.broadcast(sub), list(block_cols))
+        .withColumn("__scos", scos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("__sv", "__snrm", "__scos", "rn")
+    )
+
+
+@query("q162_semantic_dedup_3level", oracle=_Q162_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
+def q162_semantic_dedup_3level(spark, sf_dir):
+    """SemDeDup with a THREE-level hierarchical codebook: trained
+    coarse cells (k=16) → per-cell sub-codebook (k={_SUB_K}) →
+    per-(cell, subcell) sub-sub-codebook (k={_SUB2_K}); the pair
+    self-join runs inside (cell, subcell, subsubcell) blocks of
+    ~N/512 while each vector scores only 16+{_SUB_K}+{_SUB2_K}
+    centroids. This is q149's own docstring rule ("at production
+    scale the hierarchy deepens") made a registered, oracle-checked
+    query — the 100x probe measured q149's fixed two-level grid going
+    quadratic (SCALE.md round-7 table), and adding a level is the
+    documented fix: block count scales multiplicatively per level, so
+    levels grow as log(corpus) to keep blocks bounded.
+
+    Finer blocking can only LOWER pair recall vs q143/q149 (blocks
+    are nested subsets), never change survivor policy; the recall
+    trade is measured by comparing the three group counts on the same
+    fixture."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fin = (
+        spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS)
+        .withColumn("nrm", V.norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
+    )
+    sa = _sub_assign(
+        fin.select("vec_id", "c_id", "embedding", "nrm"), ("c_id",), _SUB_K, "s_id"
+    )
+    sa2 = _sub_assign(sa, ("c_id", "s_id"), _SUB2_K, "s2_id")
+    a = sa2.alias("a")
+    b = sa2.alias("b")
+    cos = F.round(
+        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_id") == F.col("b.c_id"))
+            & (F.col("a.s_id") == F.col("b.s_id"))
+            & (F.col("a.s2_id") == F.col("b.s2_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEM_THRESHOLD)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    )
+    return _survivor_groups(fin, pairs)
