@@ -206,3 +206,86 @@ def test_prune_snapshot_epochs(spark):
     got = _surv_map(survivors(read_snapshot_assigned(spark, out)))
     assert got[1] == (2, 20, 2)
     assert set(got) == {1, 101, 102, 103}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_property_incremental_equals_full(spark, data):
+    """Property: for ANY random doc set, edge set, and history/new
+    split — including new docs bridging several history clusters,
+    beating survivors, and multi-batch arrival — folding the batches
+    into the snapshot one by one equals clustering the union graph
+    from scratch."""
+    n = data.draw(st.integers(min_value=2, max_value=14))
+    ids = list(range(1, n + 1))
+    chars = {
+        i: data.draw(st.integers(min_value=1, max_value=50), label=f"chars{i}")
+        for i in ids
+    }
+    all_pairs = [(a, b) for a in ids for b in ids if a < b]
+    edges = data.draw(
+        st.lists(st.sampled_from(all_pairs), max_size=12, unique=True)
+        if all_pairs
+        else st.just([]),
+        label="edges",
+    )
+    # split into history + up to 2 ingest batches
+    assignment = {
+        i: data.draw(st.integers(min_value=0, max_value=2), label=f"slot{i}")
+        for i in ids
+    }
+    hist = [i for i in ids if assignment[i] == 0]
+    batches = [
+        [i for i in ids if assignment[i] == s] for s in (1, 2)
+    ]
+    if not hist:  # snapshot needs a non-empty build
+        hist, batches = ids, [[], []]
+
+    seen = set(hist)
+    out = tempfile.mkdtemp(prefix="snap_prop_")
+    build_snapshot(
+        _docs(spark, [(i, chars[i]) for i in hist]),
+        _edges(spark, [e for e in edges if e[0] in seen and e[1] in seen]),
+        out,
+    )
+    epoch = 0
+    for batch in batches:
+        if not batch:
+            continue
+        epoch += 1
+        new = set(batch)
+        incident = [
+            e
+            for e in edges
+            if (e[0] in new or e[1] in new)
+            and e[0] in (seen | new)
+            and e[1] in (seen | new)
+        ]
+        refresh_snapshot(
+            spark,
+            out,
+            _docs(spark, [(i, chars[i]) for i in batch]),
+            _edges(spark, incident),
+            epoch_id=epoch,
+        )
+        seen |= new
+
+    inc = _surv_map(survivors(read_snapshot_assigned(spark, out)))
+    full_edges = [e for e in edges if e[0] in seen and e[1] in seen]
+    full = _surv_map(
+        survivors(
+            assigned_table(
+                _docs(spark, [(i, chars[i]) for i in sorted(seen)]),
+                _edges(spark, full_edges),
+            )
+        )
+    )
+    assert inc == full

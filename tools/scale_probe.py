@@ -56,6 +56,34 @@ def build(spark, src_dir: str, out_dir: str, mult: int) -> None:
             df = df.crossJoin(replicas)
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.col("__r") * KEY_OFFSET)
+            if name == "embeddings":
+                # Per-replica SIGNED ROTATION — an orthogonal transform
+                # (rotate components by r mod dim, then flip signs by
+                # hash(r, i)): within-replica cosines are EXACTLY
+                # preserved (orthogonality), cross-replica similarity
+                # collapses to ~0, so true near-dup pairs grow linearly
+                # with mult. Identical replicas would give every vector
+                # mult-1 perfect clones — C(mult,2) true pairs per
+                # group in ANY blocking scheme, a fixture artifact that
+                # swamps the blocking comparison (observed: q149 and
+                # q162 indistinguishable at 100× because clone-pair CC
+                # dominated both).
+                dim = 64
+                v = F.col("embedding")
+                s = (F.col("__r") % dim).cast("int")
+                rotated = F.concat(
+                    F.slice(v, s + F.lit(1), F.lit(dim) - s),
+                    F.slice(v, F.lit(1), s),
+                )
+                flipped = F.transform(
+                    rotated,
+                    lambda x, i: x
+                    * (F.pmod(F.xxhash64(F.col("__r"), i), F.lit(2)) * 2 - 1),
+                )
+                df = df.withColumn(
+                    "embedding",
+                    F.when(F.col("__r") == 0, v).otherwise(flipped),
+                )
             if name == "documents":
                 # Injective per-replica word renaming (replica 0 keeps
                 # the original text): within-replica Jaccard structure
