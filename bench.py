@@ -189,35 +189,51 @@ def main() -> None:
         if took > 5.0:
             # likely one of this VM's 30-130s whole-process freezes —
             # retime once and keep the min (cheap best-of-2 only where
-            # the first pass looks stalled)
+            # the first pass looks stalled). Fail-soft like the first
+            # pass: a flaky retime must not abort the whole sweep and
+            # lose every collected timing — keep the first measurement.
             t0 = time.perf_counter()
-            materialize(REGISTRY[name].fn(spark, sf_dir))
-            took = min(took, time.perf_counter() - t0)
+            try:
+                materialize(REGISTRY[name].fn(spark, sf_dir))
+                took = min(took, time.perf_counter() - t0)
+            except Exception:
+                pass
         tier2_timings[name] = round(took, 3)
 
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     tier2_total = round(
         sum(v for v in tier2_timings.values() if isinstance(v, float)), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "canary_sec": round(canary, 3),
-                "queries_canary_norm": {
-                    name: round(v / canary, 2)
-                    for name, v in timings.items()
-                    if isinstance(v, float)
-                },
-                "tier2_total_sec": tier2_total,
-                "queries_tier2": tier2_timings,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "canary_sec": round(canary, 3),
+        "queries_canary_norm": {
+            name: round(v / canary, 2)
+            for name, v in timings.items()
+            if isinstance(v, float)
+        },
+        "tier2_total_sec": tier2_total,
+        "queries_tier2": tier2_timings,
+    }
+    print(json.dumps(payload))
+    # Artifact durability: the driver truncates the captured stdout to a
+    # 2k tail, losing the raw per-query maps every round (cross-round
+    # comparisons then need canary arithmetic to reconstruct them). Also
+    # persist the FULL payload to a committed per-round file — round N =
+    # 1 + the highest driver-recorded BENCH_r{N}.json.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    full_path = os.path.join(here, f"BENCH_FULL_r{max(rounds, default=0) + 1:02d}.json")
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

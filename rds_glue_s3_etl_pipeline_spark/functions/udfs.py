@@ -35,10 +35,14 @@ GAP_STATS_SCHEMA = (
 )
 
 
-N_GAP_BUCKETS = 64
+MIN_GAP_BUCKETS = 64
+GAP_ROWS_PER_BUCKET = 250_000
 
 
-def order_gap_stats(orders: DataFrame) -> DataFrame:
+def order_gap_stats(
+    orders: DataFrame,
+    target_rows_per_bucket: int = GAP_ROWS_PER_BUCKET,
+) -> DataFrame:
     """Per-customer order-gap statistics via applyInPandas (the
     UDAF-shaped escape hatch): median and max day-gap between a
     customer's consecutive orders.
@@ -47,12 +51,22 @@ def order_gap_stats(orders: DataFrame) -> DataFrame:
     o_custkey directly means one Python invocation PER CUSTOMER
     (~1 ms each of per-call overhead; measured 18 s for 15k customers
     at sf0.1). Instead the applyInPandas group key is a HASH BUCKET of
-    the customer key ({0..N_GAP_BUCKETS-1}), and each call runs a
-    vectorized pandas groupby over all its customers — same shuffle
-    volume, ~250x fewer Python calls, 18 s -> sub-second. Customers
-    never straddle buckets (bucket is a function of the key), so the
-    per-customer result is identical; this is the standard pattern for
-    custom UDAFs over high-cardinality keys at 100 TB."""
+    the customer key, and each call runs a vectorized pandas groupby
+    over all its customers — same shuffle volume, orders-of-magnitude
+    fewer Python calls, 18 s -> sub-second. Customers never straddle
+    buckets (bucket is a function of the key), so the per-customer
+    result is identical; this is the standard pattern for custom UDAFs
+    over high-cardinality keys at 100 TB.
+
+    The bucket count SCALES WITH THE INPUT — buckets =
+    rows / ``target_rows_per_bucket``, floored at MIN_GAP_BUCKETS for
+    small-input parallelism — so each Python call materializes at most
+    ~``target_rows_per_bucket`` rows (3 narrow columns, tens of MB) as
+    a pandas frame regardless of corpus size. A FIXED bucket count
+    would put rows/64 in every call — per-task memory growing linearly
+    with the corpus, the same fixed-grid trap the ANN blockers
+    document. The row count comes from one cheap count() over the
+    3-column projection (parquet metadata + row-group stats)."""
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
@@ -74,12 +88,13 @@ def order_gap_stats(orders: DataFrame) -> DataFrame:
         )
         return out
 
+    narrow = orders.select("o_custkey", "o_orderdate", "o_orderkey")
+    n_buckets = max(
+        MIN_GAP_BUCKETS, -(-narrow.count() // max(target_rows_per_bucket, 1))
+    )
     return (
-        orders.select(
-            "o_custkey",
-            "o_orderdate",
-            "o_orderkey",
-            F.pmod(F.xxhash64("o_custkey"), F.lit(N_GAP_BUCKETS)).alias("__bucket"),
+        narrow.withColumn(
+            "__bucket", F.pmod(F.xxhash64("o_custkey"), F.lit(n_buckets))
         )
         .groupBy("__bucket")
         .applyInPandas(stats, GAP_STATS_SCHEMA)

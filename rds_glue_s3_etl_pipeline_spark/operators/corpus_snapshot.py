@@ -135,6 +135,7 @@ def refresh_snapshot(
     new_docs: DataFrame,
     new_incident_edges: DataFrame,
     epoch_id: int,
+    on_reingest: str = "replace",
 ) -> None:
     """Incremental refresh: fold a new batch into the snapshot without
     re-clustering history.
@@ -153,8 +154,44 @@ def refresh_snapshot(
     committed write of this epoch must not read its own output as
     history), and the write dynamically overwrites only this epoch's
     partition.
+
+    Re-ingest contract (``on_reingest``): a batch may contain a doc_id
+    already in the snapshot (re-crawl / content update). A naive union
+    would then carry DUPLICATE doc_id rows forever — inflating
+    n_members and potentially emitting two survivors for one doc.
+
+    - ``"replace"`` (default): the batch WINS — history rows for
+      re-ingested ids are dropped (left_anti on the batch ids) before
+      the union, so the doc's n_chars, survivor eligibility, AND its
+      old star edge are replaced: the doc reconnects only through the
+      batch's incident edges, approximating what a full recompute on
+      the updated content would do. One conservative residue: if the
+      re-ingested doc was a cluster LABEL, its id keeps acting as a
+      graph node through the other members' star edges, so the updated
+      doc still over-merges into its old cluster even when its new
+      content matches nothing there. Content updates that must retract
+      THAT need a full re-cluster (build_snapshot); that is the
+      documented limit of incremental refresh.
+    - ``"error"``: assert batch ∩ snapshot = ∅ and raise with the
+      offending count otherwise (one bounded semi-join count over the
+      3-column assignment — cheap next to the refresh itself). Use
+      where upstream already guarantees append-only ingest and a
+      re-ingested id indicates a pipeline bug.
     """
+    if on_reingest not in ("replace", "error"):
+        raise ValueError(f"on_reingest must be 'replace' or 'error': {on_reingest!r}")
     hist = read_snapshot_assigned(spark, snapshot_dir, before_epoch=epoch_id)
+    new_ids = new_docs.select("doc_id")
+    if on_reingest == "error":
+        n_dup = hist.join(new_ids, "doc_id", "left_semi").count()
+        if n_dup:
+            raise ValueError(
+                f"refresh batch re-ingests {n_dup} doc_id(s) already in "
+                f"the snapshot at {snapshot_dir}; use on_reingest='replace' "
+                "to let the batch win"
+            )
+    else:
+        hist = hist.join(new_ids, "doc_id", "left_anti")
     star = hist.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
     )

@@ -14,12 +14,12 @@ inline.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import text as X
+from ..scratch import scratch_dir
 from .registry import query
 from .events3 import _Q124_ORACLE
 from .text import _JACCARD_THRESHOLD, _SHINGLE_N
@@ -113,7 +113,7 @@ def q159_corpus_snapshot(spark, sf_dir):
     sh = _hashed_shingles(spark, sf_dir)
     sh_hist = sh.filter(F.col("doc_id") % _SPLIT_MOD != 0)
 
-    snapshot_dir = tempfile.mkdtemp(prefix="q159_snapshot_")
+    snapshot_dir = scratch_dir("q159_snapshot_")
     build_snapshot(
         docs.filter(~is_new), _staged_edges(sh_hist), snapshot_dir, epoch_id=0
     )
@@ -173,7 +173,7 @@ def q161_snapshot_stream_ingest(spark, sf_dir):
     is_new = F.col("doc_id") % _SPLIT_MOD == 0
     sh = _hashed_shingles(spark, sf_dir)
 
-    snapshot_dir = tempfile.mkdtemp(prefix="q161_snapshot_")
+    snapshot_dir = scratch_dir("q161_snapshot_")
     build_snapshot(
         docs.filter(~is_new),
         _staged_edges(sh.filter(F.col("doc_id") % _SPLIT_MOD != 0)),
@@ -182,7 +182,7 @@ def q161_snapshot_stream_ingest(spark, sf_dir):
     )
 
     # Three deterministic ingest files, written in arrival order.
-    feed_dir = tempfile.mkdtemp(prefix="q161_feed_")
+    feed_dir = scratch_dir("q161_feed_")
     new_docs = docs.filter(is_new)
     for i, residue in enumerate((0, 5, 10)):
         (
@@ -211,7 +211,7 @@ def q161_snapshot_stream_ingest(spark, sf_dir):
         .option("maxFilesPerTrigger", "1")
         .parquet(_os.path.join(feed_dir, "batch_*"))
     )
-    chk = tempfile.mkdtemp(prefix="q161_chk_")
+    chk = scratch_dir("q161_chk_")
     q = (
         stream.writeStream.outputMode("append")
         .foreachBatch(fold)
@@ -225,15 +225,38 @@ def q161_snapshot_stream_ingest(spark, sf_dir):
     return survivors(read_snapshot_assigned(spark, snapshot_dir))
 
 
-_SNAPSHOT_CACHE: dict[str, str] = {}
+_SNAPSHOT_CACHE: dict[tuple[str, tuple], str] = {}
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of the documents table: (path, mtime,
+    size) per data file. Keying the snapshot cache on this means a
+    fixture REBUILT in-process (scale_probe build→run in one process)
+    invalidates the cached clustering instead of silently serving a
+    stale one (round-7 ADVICE)."""
+    path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((path, st.st_mtime_ns, st.st_size),)
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out.append((p, st.st_mtime_ns, st.st_size))
+    return tuple(out)
 
 
 def corpus_survivor_snapshot(spark, sf_dir):
     """Survivor DataFrame (cluster_id, kept_doc_id, kept_n_chars,
     n_members) read from the materialized full-corpus snapshot,
-    building it on first use per (process, sf_dir). Downstream
+    building it on first use per (process, corpus content). Downstream
     composites (q133 export, q134 mix report) share ONE clustering
-    pass this way instead of each recomputing q124 inline."""
+    pass this way instead of each recomputing q124 inline. The cache
+    key includes a file-level fingerprint of the documents table (see
+    _docs_fingerprint) and the store lives under the managed scratch
+    root (scratch.py), so rebuilt fixtures re-cluster and nothing
+    leaks past process exit."""
     from ..operators.corpus_snapshot import (
         build_snapshot,
         read_snapshot_assigned,
@@ -241,12 +264,12 @@ def corpus_survivor_snapshot(spark, sf_dir):
     )
     from .text import staged_near_dup_edges
 
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), _docs_fingerprint(sf_dir))
     cached = _SNAPSHOT_CACHE.get(key)
     if cached is None or not os.path.isdir(cached):
         docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
         edges = staged_near_dup_edges(spark, sf_dir)
-        snapshot_dir = tempfile.mkdtemp(prefix="corpus_snapshot_")
+        snapshot_dir = scratch_dir("corpus_snapshot_")
         build_snapshot(docs, edges, snapshot_dir, epoch_id=0)
         _SNAPSHOT_CACHE[key] = snapshot_dir
         cached = snapshot_dir

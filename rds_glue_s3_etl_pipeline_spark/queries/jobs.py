@@ -9,11 +9,11 @@ end-to-end write path under the driver's eye, not just unit tests.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..scratch import scratch_dir
 from .registry import query
 
 _SHARD_TARGET = 50_000  # chars per shard; ~15 shards at sf0.01
@@ -45,7 +45,7 @@ def q130_token_shards(spark, sf_dir):
     from ..sources.sinks import write_token_balanced_shards
 
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    out = tempfile.mkdtemp(prefix="q130_shards_")
+    out = scratch_dir("q130_shards_")
     write_token_balanced_shards(
         d, out, weight_col="n_chars", order_cols=["doc_id"],
         target_weight_per_shard=_SHARD_TARGET,
@@ -72,7 +72,7 @@ def q131_config_job(spark, sf_dir):
     all-exact types (no CSV float formatting ambiguity)."""
     from ..job_config import run_job
 
-    out_dir = tempfile.mkdtemp(prefix="q131_job_")
+    out_dir = scratch_dir("q131_job_")
     out_csv = os.path.join(out_dir, "merged.csv")
     nation_path = os.path.join(sf_dir, "nation.parquet")
     run_job(

@@ -116,7 +116,13 @@ def run_pipeline(
         msg = str(e)
         if "TABLE_OR_VIEW_NOT_FOUND" not in msg:
             return False
-        return any(t in msg for t in declared_targets)
+        # Match the QUOTED identifier, not a raw substring: the error
+        # message renders the missing relation as `name`, and a raw
+        # substring test would misclassify a genuinely missing external
+        # table whose name merely CONTAINS a declared target (target
+        # 'docs', missing 'docs_raw') as retryable — silently spinning
+        # for max_rounds instead of failing fast.
+        return any(f"`{t}`" in msg for t in declared_targets)
 
     pending = list(registry.flows)
     done: dict[str, DataFrame] = {}

@@ -178,6 +178,67 @@ def test_incident_candidates_cover_new_pairs(spark):
     assert (1, 2) not in inc  # history-history never proposed
 
 
+def test_reingest_replace_updates_doc(spark):
+    # Batch re-ingests doc 2 (the old survivor of {1,2}) with SHORTER
+    # content and no edges: replace mode must keep ONE row for doc 2
+    # (no duplicate inflating n_members), update its n_chars, and drop
+    # its old star edge — doc 2 reconnects only through batch edges, so
+    # {1,2} splits and doc 1 becomes its own survivor.
+    out = tempfile.mkdtemp(prefix="snap_reingest_")
+    build_snapshot(
+        _docs(spark, [(1, 10), (2, 20), (3, 5)]), _edges(spark, [(1, 2)]), out
+    )
+    refresh_snapshot(
+        spark, out, _docs(spark, [(2, 7)]), _edges(spark, []), epoch_id=1
+    )
+    state = read_snapshot_assigned(spark, out)
+    assert state.count() == 3  # no duplicate doc_id rows
+    assert state.filter(F.col("doc_id") == 2).count() == 1
+    got = _surv_map(survivors(state))
+    assert got == {1: (1, 10, 1), 2: (2, 7, 1), 3: (3, 5, 1)}
+
+
+def test_reingest_replace_batch_wins_survivor(spark):
+    # Re-ingested doc keeps its cluster via a fresh edge and its NEW
+    # length decides the survivor pick.
+    out = tempfile.mkdtemp(prefix="snap_reingest2_")
+    build_snapshot(
+        _docs(spark, [(1, 10), (2, 20)]), _edges(spark, [(1, 2)]), out
+    )
+    refresh_snapshot(
+        spark, out, _docs(spark, [(2, 99)]), _edges(spark, [(2, 1)]), epoch_id=1
+    )
+    got = _surv_map(survivors(read_snapshot_assigned(spark, out)))
+    assert got == {1: (2, 99, 2)}
+
+
+def test_reingest_error_mode_raises(spark):
+    out = tempfile.mkdtemp(prefix="snap_reingest3_")
+    build_snapshot(
+        _docs(spark, [(1, 10), (2, 20)]), _edges(spark, [(1, 2)]), out
+    )
+    with pytest.raises(ValueError, match="re-ingests 1 doc_id"):
+        refresh_snapshot(
+            spark,
+            out,
+            _docs(spark, [(2, 7)]),
+            _edges(spark, []),
+            epoch_id=1,
+            on_reingest="error",
+        )
+    # disjoint batch passes under error mode
+    refresh_snapshot(
+        spark,
+        out,
+        _docs(spark, [(9, 7)]),
+        _edges(spark, []),
+        epoch_id=1,
+        on_reingest="error",
+    )
+    got = _surv_map(survivors(read_snapshot_assigned(spark, out)))
+    assert got == {1: (2, 20, 2), 9: (9, 7, 1)}
+
+
 def test_prune_snapshot_epochs(spark):
     from rds_glue_s3_etl_pipeline_spark.operators.corpus_snapshot import (
         prune_snapshot_epochs,

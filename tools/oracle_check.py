@@ -149,6 +149,18 @@ def main() -> int:
             print(f"OK   {name}: {len(sdf)} rows")
             results[name] = {"status": "ok", "rows": len(sdf)}
     print(f"\n{len(names) - n_fail}/{len(names)} passed")
+    # Structural completeness: a "full sweep" artifact must cover every
+    # registered query. Round 7 shipped an ORACLE_FULL artifact that was
+    # generated BEFORE the last query of the round landed (160/161) —
+    # the assertion makes that class of stale-artifact impossible: if
+    # this run claims to be a full sweep (no explicit names), it fails
+    # hard unless it covered len(REGISTRY) queries.
+    is_full_sweep = not args.names
+    if is_full_sweep and len(results) != len(REGISTRY):
+        raise AssertionError(
+            f"full sweep covered {len(results)} queries but REGISTRY has "
+            f"{len(REGISTRY)} — regenerate after the last registry change"
+        )
     if args.json:
         import json
 
@@ -157,6 +169,8 @@ def main() -> int:
                 {
                     "sf_dir": args.sf,
                     "n_total": len(names),
+                    "n_registry": len(REGISTRY),
+                    "full_sweep": is_full_sweep,
                     "n_fail": n_fail,
                     "queries": results,
                 },
