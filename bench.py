@@ -89,6 +89,9 @@ HEADLINE = [
     "q160_pq_trained_topk",
     "q161_snapshot_stream_ingest",
     "q162_semantic_dedup_3level",
+    "q163_semantic_dedup_adaptive",
+    "q164_incremental_vector_dedup_adaptive",
+    "q165_vector_dedup_tree_probe",
 ]
 
 

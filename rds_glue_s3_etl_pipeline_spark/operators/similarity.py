@@ -235,6 +235,124 @@ def spherical_kmeans_codebook(
 
 
 # --------------------------------------------------------------------------
+# Corpus-adaptive hierarchical blocking — the registered fix for the
+# fixed-grid law (SCALE.md round-7: any blocking scheme with FIXED
+# total block count B has within-block pairs ∝ N²/B, measured at
+# 37-64×/decade on q149/q150/q162).
+# --------------------------------------------------------------------------
+
+
+def adaptive_grid(
+    n_rows: int, target_block: int, coarse_k: int = 16, fanout: int = 8
+) -> list[int]:
+    """Per-level codebook sizes for a hierarchical blocking whose TOTAL
+    block count scales with the corpus: a trained coarse level of at
+    most ``coarse_k`` cells, then sampled sub-codebook levels of at
+    most ``fanout`` cells each, deep enough that the product of all
+    levels ≥ n_rows / target_block — i.e. the expected block SIZE
+    stays ~``target_block`` at any corpus size, with depth growing as
+    log(n_rows) at fixed fan-out and the last level trimmed to avoid
+    overshooting.
+
+    This is the scale rule the fixed-grid measurements demand:
+    per-vector assignment cost is sum(ks) = O(log N) centroid scores,
+    while within-block pair work is N x target_block / 2 — LINEAR in
+    the corpus where a pinned grid is quadratic. Verified against the
+    pinned forms by construction: at the sf0.01 fixture (500 vectors,
+    target_block=4) the rule yields exactly q149's (16, 8) grid, so
+    the adaptive query hash-matches the fixed-grid oracle there and
+    only deepens beyond fixture scale.
+    """
+    import math
+
+    if n_rows < 0:
+        raise ValueError(f"n_rows must be >= 0: {n_rows}")
+    needed = max(1, math.ceil(max(n_rows, 1) / max(target_block, 1)))
+    ks = [min(coarse_k, needed)]
+    prod = ks[0]
+    while prod < needed:
+        k = min(fanout, math.ceil(needed / prod))
+        ks.append(max(k, 2))
+        prod *= ks[-1]
+    return ks
+
+
+def block_sub_codebook(
+    df: DataFrame,
+    block_cols: tuple[str, ...],
+    k_sub: int,
+    id_out: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nrm_col: str = "nrm",
+) -> DataFrame:
+    """Per-block sampled sub-codebook: the first ``k_sub`` members of
+    each block in md5(id) order — the seedless deterministic sample
+    every codebook consumer uses (queries.vector3._init_centroids
+    discipline), so any engine reproduces it bit for bit. Returns
+    (*block_cols, id_out, __sv, __snrm); bounded by #blocks x k_sub
+    rows."""
+    w_pick = Window.partitionBy(*block_cols).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") <= k_sub)
+        .select(
+            *block_cols,
+            F.col(id_col).alias(id_out),
+            F.col(vec_col).alias("__sv"),
+            F.col(nrm_col).alias("__snrm"),
+        )
+    )
+
+
+def block_sub_assign(
+    df: DataFrame,
+    block_cols: tuple[str, ...],
+    k_sub: int,
+    id_out: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nrm_col: str = "nrm",
+    hint_broadcast: bool = True,
+    sub: DataFrame | None = None,
+) -> DataFrame:
+    """One hierarchy level: sample a ``k_sub``-entry sub-codebook per
+    existing block (block_sub_codebook, unless a prebuilt ``sub`` is
+    passed) and assign each member to its nearest sub-centroid — 4dp
+    cosine, ``id_out`` tie-break, the cross-engine determinism
+    discipline shared with kmeans_assign. Returns df plus the
+    ``id_out`` block column.
+
+    Scale: the sub-codebook is #blocks x k_sub rows. While that is
+    broadcast-sized (early levels; the default hint) the join is
+    map-side; once the deepest levels of a very large corpus outgrow
+    broadcast, pass hint_broadcast=False — the join keys on the block
+    columns, so it shuffle-joins co-located by block with identical
+    results. The per-vector argmax windows by ``id_col``, never a
+    corpus-wide key."""
+    if sub is None:
+        sub = block_sub_codebook(
+            df, block_cols, k_sub, id_out, id_col, vec_col, nrm_col
+        )
+    scos = F.round(
+        V.dot(F.col(vec_col), F.col("__sv")) / (F.col(nrm_col) * F.col("__snrm")),
+        4,
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("__scos"), F.asc(id_out))
+    joined = df.join(
+        F.broadcast(sub) if hint_broadcast else sub, list(block_cols)
+    )
+    return (
+        joined.withColumn("__scos", scos)
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .drop("__sv", "__snrm", "__scos", "__rn")
+    )
+
+
+# --------------------------------------------------------------------------
 # Product-quantization training: per-subspace L2 Lloyd rounds.
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,531 @@
+"""Vector batch 5: CORPUS-ADAPTIVE blocking — the registered fix for
+the fixed-grid law, round 7's #1 finding.
+
+The round-7 100x probe measured the fixture-pinned grids of
+q149/q150/q162 at 37-64x per decade: any blocking scheme with a FIXED
+total block count B has within-block pairs ∝ N²/B — quadratic at any
+depth. The fix was proven in tools/ivf_cells_experiment.py (k ∝ corpus
+cuts the quadratic term by exactly the predicted 9.9x) but existed
+only as an experiment. This module registers it:
+
+* q163: SemDeDup whose grid comes from operators.similarity.
+  adaptive_grid(corpus_count) — block size held ~constant, depth grows
+  as log N. At the sf0.01 fixture the rule reproduces q149's pinned
+  (16, 8) grid EXACTLY, so the query hash-matches q149's unrolled
+  oracle there (the strongest possible gate: bit-equality with the
+  fixture-pinned exact form) and only deepens beyond fixture scale.
+* q164: incremental vector dedup probing a corpus-adaptive TREE index
+  (cell size held ~constant; new vectors multi-probe the coarse level
+  and descend). At sf0.01 the tree is the flat k=16 codebook and the
+  probe is exactly q150's nprobe=4 — hash-matched to q150's oracle.
+* q165: the tree-probe machinery FORCED to depth 2 at fixture scale
+  (target cell 8 → (16, 4) grid) with its own unrolled oracle — the
+  multi-level descent is bit-verified, not just exercised at scale.
+* q166/q167: registered recall/survivor gates — adaptive vs the exact
+  forms (q132 / q143 / q149) on the same data, the q145/q155 pattern.
+
+Scale contract (the whole point): per-vector assignment cost is
+sum(levels) = O(log N) centroid scores; within-block pair work is
+N x target_block — LINEAR where the pinned grids are quadratic. The
+decade curve lives in SCALE.md next to the fixed-grid table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import vector as V
+from ..operators.similarity import (
+    adaptive_grid,
+    block_sub_assign,
+    block_sub_codebook,
+    kmeans_assign,
+    spherical_kmeans,
+    spherical_kmeans_codebook,
+)
+from .registry import query
+from .vector import _NEAR_DUP_THRESHOLD
+from .vector2 import _Q132_ORACLE
+from .vector3 import (
+    _KM_ITERS,
+    _KM_K,
+    _NPROBE,
+    _Q143_ORACLE,
+    _Q149_ORACLE,
+    _Q150_ORACLE,
+    _SEM_THRESHOLD,
+    _SUB_K,
+    _init_centroids,
+    _km_ctes,
+    _survivor_groups,
+)
+
+# Block-size targets, pinned to what the verified fixed-grid forms
+# already use AT FIXTURE SCALE so the adaptive rule coincides with
+# them there (hash-proof) and only changes behavior beyond it:
+#   q149's grid is 16x8 = 128 blocks over the 500-vector sf0.01
+#   fixture → ~4 vectors/block; q150's 16 cells → ~31 vectors/cell.
+_ADAPT_TARGET_BLOCK = 4   # SemDeDup pair-join block size
+_IVF_TARGET_CELL = 32     # incremental-dedup probe cell size
+_TREE_TARGET_CELL = 8     # q165: forces a 2-level (16, 4) tree at sf0.01
+_TREE_PSUB = 2            # probe branching per sub-level of the tree
+
+# Broadcast the per-level sub-codebook only while it is genuinely
+# broadcast-sized; past this the level join keys on the block columns
+# and shuffle-joins co-located by block with identical results.
+_SUB_BROADCAST_ROWS = 1_000_000
+
+
+def _count_rows(e) -> int:
+    """Corpus count driving the grid choice — one column-pruned count
+    job (parquet row-group metadata); the only driver-side value the
+    adaptive family needs."""
+    return e.count()
+
+
+@query("q163_semantic_dedup_adaptive", oracle=_Q149_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
+def q163_semantic_dedup_adaptive(spark, sf_dir):
+    """SemDeDup with a CORPUS-ADAPTIVE hierarchical grid: per-level
+    codebook sizes come from adaptive_grid(count, target_block=4) —
+    trained coarse cells, then md5-sampled sub-codebooks, deep enough
+    that expected block size stays ~{_ADAPT_TARGET_BLOCK} at ANY
+    corpus size (depth ∝ log N). The pair self-join then does
+    N x target_block / 2 work — linear in the corpus — where the
+    fixture-pinned q149/q162 grids were measured quadratic
+    (64x / 37x per decade, SCALE.md round-7 fixed-grid law).
+
+    The oracle is q149's unrolled SQL VERBATIM: at the sf0.01/sf0.001
+    fixtures (500 vectors) the rule yields exactly q149's (16, 8)
+    grid, so adaptive == fixed is proven by hash equality — the
+    strongest form of the survivor-count gate — while the SAME code
+    deepens to (16, 8, 4) at sf0.1 and (16, 8, 8, 8, 7) at the 100x
+    fixture. Survivor policy (keep-the-outlier per component, q143's
+    contract) is untouched; what the finer grid trades is pair recall,
+    measured by q167's gate and the SCALE.md decade table.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ks = adaptive_grid(
+        _count_rows(e), _ADAPT_TARGET_BLOCK, coarse_k=_KM_K, fanout=_SUB_K
+    )
+    fin = (
+        spherical_kmeans(e, _init_centroids(e, k=ks[0]), iters=_KM_ITERS)
+        .withColumn("nrm", V.norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
+    )
+    cur = fin.select("vec_id", "c_id", "embedding", "nrm")
+    block_cols = ["c_id"]
+    n_blocks = ks[0]
+    for i, k_sub in enumerate(ks[1:]):
+        cur = block_sub_assign(
+            cur,
+            tuple(block_cols),
+            k_sub,
+            f"s{i}_id",
+            hint_broadcast=(n_blocks * k_sub <= _SUB_BROADCAST_ROWS),
+        )
+        block_cols.append(f"s{i}_id")
+        n_blocks *= k_sub
+    a, b = cur.alias("a"), cur.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cos = F.round(
+        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    pairs = (
+        a.join(b, cond)
+        .filter(cos >= _SEM_THRESHOLD)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    )
+    return _survivor_groups(fin, pairs)
+
+
+# --------------------------------------------------------------------------
+# Tree-probe incremental dedup: the adaptive-index counterpart of q150.
+# --------------------------------------------------------------------------
+
+
+def _tree_probe_dedup(spark, sf_dir, target_cell: int):
+    """Shared engine for q164/q165: build a corpus-adaptive tree index
+    (trained coarse codebook, sampled sub-codebooks per level from
+    adaptive_grid(count, target_cell)), assign the whole corpus to
+    leaf blocks, then match NEW vectors (vec_id % 5 == 0) against
+    history only inside probed leaves: top-{_NPROBE} coarse cells,
+    then the top-{_TREE_PSUB} sub-cells per probed branch at each
+    deeper level — {_NPROBE} x {_TREE_PSUB}^(depth-1) leaves per new
+    vector.
+
+    Scale shape: leaf size is ~target_cell by construction, so
+    candidates per new vector are nprobe_leaves x target_cell — they
+    grow POLY-LOG with the corpus (the probed FRACTION falls as the
+    grid refines) where q150's fixed grid held the fraction constant
+    and went quadratic (45x/decade, SCALE.md). The recall price of the
+    falling fraction is measured, never assumed: q166 gates match
+    recovery against the exact q132 on the same data, and the
+    (k, nprobe, recall, candidates) grid in SCALE.md records the dial.
+    Assignment cost is sum(ks) ≈ O(log N) broadcast-codebook scores
+    per vector; nothing shuffles on a corpus-growing key except the
+    block-keyed joins themselves.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    ev = e.select("vec_id", "embedding")
+    ks = adaptive_grid(
+        _count_rows(ev), target_cell, coarse_k=_KM_K, fanout=_SUB_K
+    )
+    cent = spherical_kmeans_codebook(
+        ev, _init_centroids(ev, k=ks[0]), iters=_KM_ITERS
+    )
+    fin = (
+        kmeans_assign(ev, cent)
+        .select("vec_id", "c_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    cur = fin.withColumn("nrm", V.norm(F.col("embedding")))
+    block_cols = ["c_id"]
+    n_blocks = ks[0]
+    level_subs = []  # (prefix_cols, id_out, codebook df) per sub-level
+    for i, k_sub in enumerate(ks[1:]):
+        id_out = f"s{i}_id"
+        sub = block_sub_codebook(cur, tuple(block_cols), k_sub, id_out)
+        cur = block_sub_assign(
+            cur,
+            tuple(block_cols),
+            k_sub,
+            id_out,
+            hint_broadcast=(n_blocks * k_sub <= _SUB_BROADCAST_ROWS),
+            sub=sub,
+        )
+        level_subs.append((tuple(block_cols), id_out, sub))
+        block_cols.append(id_out)
+        n_blocks *= k_sub
+
+    # Probe level 0: rank ALL coarse cells per new vector (broadcast
+    # codebook, the q150 discipline), keep the top nprobe; carry the
+    # query vector + norm down the tree for the deeper rankings.
+    new_q = ev.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("p_vec"),
+        F.col("embedding").alias("qv"),
+        V.norm(F.col("embedding")).alias("qnrm"),
+    )
+    w_p0 = Window.partitionBy("p_vec").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    probe = (
+        new_q.crossJoin(F.broadcast(cent))
+        .select(
+            "p_vec",
+            "qv",
+            "qnrm",
+            "c_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), 4).alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_p0))
+        .filter(F.col("rn") <= _NPROBE)
+        .drop("c_cos", "rn")
+    )
+    # Deeper levels: within each probed branch, rank that block's
+    # sub-codebook and keep the top _TREE_PSUB sub-cells.
+    for prefix_cols, id_out, sub in level_subs:
+        scos = F.round(
+            V.dot(F.col("qv"), F.col("__sv")) / (F.col("qnrm") * F.col("__snrm")),
+            4,
+        )
+        w_lvl = Window.partitionBy("p_vec", *prefix_cols).orderBy(
+            F.desc("__scos"), F.asc(id_out)
+        )
+        probe = (
+            probe.join(F.broadcast(sub), list(prefix_cols))
+            .withColumn("__scos", scos)
+            .withColumn("rn", F.row_number().over(w_lvl))
+            .filter(F.col("rn") <= _TREE_PSUB)
+            .drop("__sv", "__snrm", "__scos", "rn")
+        )
+    probe = probe.select(
+        "p_vec", *[F.col(c).alias(f"p_{c}") for c in block_cols]
+    )
+
+    el = cur.join(e.select("vec_id", "label"), "vec_id")
+    hist = el.filter(F.col("vec_id") % 5 != 0).alias("h")
+    new = el.filter(F.col("vec_id") % 5 == 0).alias("n")
+    leaf_cond = None
+    for c in block_cols:
+        eq = F.col(f"p_{c}") == F.col(f"h.{c}")
+        leaf_cond = eq if leaf_cond is None else (leaf_cond & eq)
+    cos = F.round(
+        V.dot(F.col("n.embedding"), F.col("h.embedding"))
+        / (F.col("n.nrm") * F.col("h.nrm")),
+        4,
+    )
+    scored = (
+        probe.join(hist, leaf_cond)
+        .join(
+            new,
+            (F.col("n.vec_id") == F.col("p_vec"))
+            & (F.col("n.label") == F.col("h.label")),
+        )
+        .select(
+            F.col("n.vec_id").alias("new_vec_id"),
+            F.col("h.vec_id").alias("hist_vec_id"),
+            F.col("n.label").cast("long").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _NEAR_DUP_THRESHOLD)
+    )
+    w_best = Window.partitionBy("new_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("hist_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_vec_id",
+            F.col("hist_vec_id").alias("best_hist_vec_id"),
+            "label",
+            "cos_sim",
+        )
+    )
+
+
+@query("q164_incremental_vector_dedup_adaptive", oracle=_Q150_ORACLE, tags=("vector", "dedup", "EXT"))
+def q164_incremental_vector_dedup_adaptive(spark, sf_dir):
+    """Incremental-ingest vector dedup probing a CORPUS-ADAPTIVE tree
+    index — the registered form of the cells-∝-corpus experiment
+    (tools/ivf_cells_experiment.py): the index holds cell size at
+    ~{_IVF_TARGET_CELL} vectors by deepening with the corpus instead
+    of letting fixed cells grow. At the sf0.01 fixture the rule gives
+    the flat trained k=16 codebook and the probe is exactly q150's
+    top-{_NPROBE} multi-probe, so the oracle is q150's unrolled SQL
+    verbatim (hash-equality with the fixture-pinned form); at sf0.1
+    the tree is (16, 4), at the 100x fixture (16, 8, 8, 7).
+
+    Why a TREE and not flat k ∝ N: flat assignment/training cost is
+    O(N x k) — itself quadratic when k ∝ N (the experiment's k=160
+    train pass already showed the cost). Tree routing keeps assignment
+    at O(log N) scores per vector AND block count ∝ corpus. The probe
+    descends top-{_NPROBE} coarse / top-{_TREE_PSUB} per deeper level,
+    so the probed fraction FALLS as the corpus grows — candidates per
+    new vector grow poly-log, the measured recall price is q166's
+    gate. See _tree_probe_dedup for the full scale contract.
+    """
+    return _tree_probe_dedup(spark, sf_dir, _IVF_TARGET_CELL)
+
+
+# --------------------------------------------------------------------------
+# q165: the descent machinery bit-verified — a target cell small enough
+# that the tree is 2-level AT FIXTURE SCALE, with its own unrolled
+# oracle (coarse k-means CTEs + sampled sub-codebook + 2-level probe).
+# --------------------------------------------------------------------------
+
+_TREE_SUB_K = 4  # adaptive_grid(500, 8, 16, 8) == [16, 4]
+
+_Q165_ORACLE = f"""
+WITH {_km_ctes(_KM_K, _KM_ITERS)},
+fin AS (
+  SELECT a.vec_id, a.c_id, e.v
+  FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
+),
+sub AS (
+  SELECT c_id, vec_id AS s_id, v AS sv FROM (
+    SELECT c_id, vec_id, v,
+           ROW_NUMBER() OVER (PARTITION BY c_id
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM fin
+  ) WHERE rn <= {_TREE_SUB_K}
+),
+sa AS (
+  SELECT vec_id, c_id, s_id FROM (
+    SELECT f.vec_id, f.c_id, s.s_id,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(f.v, s.sv), 4) DESC,
+                                       s.s_id) AS rn
+    FROM fin f JOIN sub s ON s.c_id = f.c_id
+  ) WHERE rn = 1
+),
+el AS (
+  SELECT e0.vec_id, e0.label, e.v, sa.c_id, sa.s_id
+  FROM embeddings e0
+  JOIN e ON e.vec_id = e0.vec_id
+  JOIN sa ON sa.vec_id = e0.vec_id
+),
+probe0 AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                       c.c_id) AS rn
+    FROM e CROSS JOIN cent{_KM_ITERS} c
+    WHERE e.vec_id % 5 = 0
+  ) WHERE rn <= {_NPROBE}
+),
+probe1 AS (
+  SELECT p_vec, p_cell, s_id AS p_sub FROM (
+    SELECT p.vec_id AS p_vec, p.c_id AS p_cell, s.s_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.c_id
+                              ORDER BY ROUND(list_cosine_similarity(q.v, s.sv), 4) DESC,
+                                       s.s_id) AS rn
+    FROM probe0 p
+    JOIN e q ON q.vec_id = p.vec_id
+    JOIN sub s ON s.c_id = p.c_id
+  ) WHERE rn <= {_TREE_PSUB}
+),
+scored AS (
+  SELECT n.vec_id AS new_vec_id, h.vec_id AS hist_vec_id,
+         CAST(n.label AS BIGINT) AS label,
+         ROUND(list_cosine_similarity(n.v, h.v), 4) AS cos_sim
+  FROM probe1 p
+  JOIN el h ON h.c_id = p.p_cell AND h.s_id = p.p_sub AND h.vec_id % 5 <> 0
+  JOIN el n ON n.vec_id = p.p_vec AND n.label = h.label
+)
+SELECT new_vec_id, hist_vec_id AS best_hist_vec_id, label, cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY new_vec_id ORDER BY cos_sim DESC, hist_vec_id) AS rn
+      FROM scored
+      WHERE cos_sim >= {_NEAR_DUP_THRESHOLD})
+WHERE rn = 1
+"""
+
+
+@query("q165_vector_dedup_tree_probe", oracle=_Q165_ORACLE, tags=("vector", "dedup", "EXT"))
+def q165_vector_dedup_tree_probe(spark, sf_dir):
+    """q164's tree machinery FORCED multi-level at fixture scale:
+    target cell {_TREE_TARGET_CELL} makes adaptive_grid yield a
+    (16, {_TREE_SUB_K}) tree on the 500-vector fixture, so the
+    sub-codebook sampling, per-branch descent (top-{_NPROBE} coarse x
+    top-{_TREE_PSUB} sub-cells = 8 probed leaves of 64) and the
+    leaf-keyed candidate join all run — and the unrolled DuckDB twin
+    reproduces every ranking and match bit for bit. Without this, the
+    depth>1 code path of the adaptive family would only ever execute
+    in scale probes, beyond the driver's oracle. Same output contract
+    as q132/q150/q164 (best historical match per new vector)."""
+    return _tree_probe_dedup(spark, sf_dir, _TREE_TARGET_CELL)
+
+
+# --------------------------------------------------------------------------
+# q166: match-recovery gate — the adaptive probe (q164) measured
+# against the EXACT incremental dedup (q132) on the same data.
+# --------------------------------------------------------------------------
+
+_Q166_ORACLE = f"""
+WITH exact AS (SELECT * FROM ({_Q132_ORACLE})),
+ap AS (SELECT * FROM ({_Q150_ORACLE})),
+common AS (
+  SELECT e.new_vec_id,
+         CASE WHEN e.best_hist_vec_id = a.best_hist_vec_id THEN 1 ELSE 0 END AS same_best
+  FROM exact e JOIN ap a USING (new_vec_id)
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ap) AS n_probe,
+  CAST(COUNT(*) AS BIGINT) AS n_common,
+  CAST(COALESCE(SUM(same_best), 0) AS BIGINT) AS n_same_best,
+  ROUND(COUNT(*) / (SELECT COUNT(*) FROM exact), 4) AS recovery
+FROM common
+"""
+
+
+@query("q166_vector_dedup_recall_gate", oracle=_Q166_ORACLE, tags=("vector", "dedup", "EXT"))
+def q166_vector_dedup_recall_gate(spark, sf_dir):
+    """The q145-pattern quality gate for the adaptive probe: run the
+    EXACT incremental dedup (q132, full label-block scan) and the
+    adaptive tree probe (q164) on the same data and report match
+    recovery — how many of the exact best-match rows the probe found
+    at all (n_common / n_exact) and how many with the IDENTICAL best
+    match (n_same_best). This registers the number q150's docstring
+    only narrated (18/28 recovered, 16/18 identical at nprobe=4):
+    an approximate dedup path without a measured recovery number is a
+    guess. At 100 TB the exact side runs on a bounded audit sample —
+    exactly this query's shape. Gate output is one row, trivially
+    oracle-checkable; the probe side's own correctness is q164/q165's
+    hash-matched oracles."""
+    from .vector2 import q132_incremental_vector_dedup
+
+    exact = q132_incremental_vector_dedup(spark, sf_dir).select(
+        "new_vec_id", F.col("best_hist_vec_id").alias("e_best")
+    )
+    ap = q164_incremental_vector_dedup_adaptive(spark, sf_dir).select(
+        "new_vec_id", F.col("best_hist_vec_id").alias("a_best")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_probe = ap.agg(F.count(F.lit(1)).alias("n_probe"))
+    common = exact.join(ap, "new_vec_id").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("e_best") == F.col("a_best"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_same_best"),
+    )
+    return (
+        n_exact.crossJoin(n_probe)
+        .crossJoin(common)
+        .select(
+            "n_exact",
+            "n_probe",
+            "n_common",
+            "n_same_best",
+            F.round(F.col("n_common") / F.col("n_exact"), 4).alias("recovery"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q167: survivor-count gate — exact single-level vs fixed 2-level vs
+# adaptive SemDeDup, side by side on the same corpus.
+# --------------------------------------------------------------------------
+
+
+def _grid_stats_sql(variant: str, inner: str) -> str:
+    return f"""SELECT '{variant}' AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_members) AS BIGINT) AS n_dup_docs,
+       CAST(MAX(n_members) AS BIGINT) AS max_group
+FROM ({inner})"""
+
+
+_Q167_ORACLE = (
+    _grid_stats_sql("adaptive", _Q149_ORACLE)
+    + "\nUNION ALL\n"
+    + _grid_stats_sql("exact_1level", _Q143_ORACLE)
+    + "\nUNION ALL\n"
+    + _grid_stats_sql("fixed_2level", _Q149_ORACLE)
+)
+
+
+@query("q167_semantic_dedup_grid_gate", oracle=_Q167_ORACLE, tags=("vector", "dedup", "EXT"))
+def q167_semantic_dedup_grid_gate(spark, sf_dir):
+    """Survivor-count gate across the three SemDeDup blocking tiers on
+    the SAME corpus: exact single-level (q143), fixed 2-level (q149),
+    corpus-adaptive (q163) — group count, total docs in dup groups,
+    and largest group each. Finer blocking can only LOWER pair recall
+    (blocks are nested subsets), and this is the registered number for
+    how much: on the sf0.01 fixture the 2-level grid keeps 70 groups /
+    190 dup docs vs the exact 68 / 299 (big outlier clusters split),
+    and the adaptive row is IDENTICAL to fixed_2level there because
+    the adaptive rule reproduces the (16, 8) grid at fixture scale —
+    the oracle encodes exactly that equality. Beyond fixture scale the
+    adaptive row diverges (deeper grid, measured in SCALE.md); the
+    gate is how a corpus build decides whether the recall trade at its
+    scale is acceptable before pruning."""
+    from .vector3 import q143_semantic_dedup, q149_semantic_dedup_2level
+
+    def stats(df, variant):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_members").cast("long").alias("n_dup_docs"),
+            F.max("n_members").cast("long").alias("max_group"),
+        ).select(
+            F.lit(variant).alias("variant"), "n_groups", "n_dup_docs", "max_group"
+        )
+
+    return (
+        stats(q163_semantic_dedup_adaptive(spark, sf_dir), "adaptive")
+        .unionByName(stats(q143_semantic_dedup(spark, sf_dir), "exact_1level"))
+        .unionByName(
+            stats(q149_semantic_dedup_2level(spark, sf_dir), "fixed_2level")
+        )
+    )
