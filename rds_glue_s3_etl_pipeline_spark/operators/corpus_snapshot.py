@@ -26,12 +26,13 @@ workflow, built on two already-verified pieces:
 
 State size: the assignment table is 3 longs per document — at 100 TB
 corpus scale (~1e10 docs) that is ~240 GB of parquet, a rounding error
-next to the corpus, and each refresh writes one new epoch of it. The
-production refinement (delta-encode epochs: only changed clusters +
-tombstones, compacted like sources/sinks.compact_parquet) trades
-reader-side merge cost for write volume; full-state epochs keep the
-reader a trivial max-epoch filter, which is the right default until
-write volume dominates.
+next to the corpus — but rewriting ALL of it per ingest batch is not:
+refresh therefore supports ``mode="delta"`` (write only the rows the
+batch changed, plus tombstones; see refresh_snapshot), the reader
+merges latest-full + deltas per doc, and :func:`compact_snapshot`
+folds a chain back to a full epoch — the LSM/table-format pattern.
+Full-state epochs remain the default: the reader stays a trivial
+max-epoch filter, which is right until write volume dominates.
 
 Capability parity note: the reference pipeline has no incremental
 state at all (gule_test_job.py re-reads and re-merges everything per
@@ -51,12 +52,21 @@ from .graph import connected_components_star
 
 
 def write_snapshot_epoch(
-    assigned: DataFrame, snapshot_dir: str, epoch_id: int
+    assigned: DataFrame, snapshot_dir: str, epoch_id: int, kind: str = "full"
 ) -> None:
-    """Write one full assignment state under ``__epoch=<id>`` with
-    dynamic partition overwrite — replaying the same epoch rewrites its
-    partition instead of appending duplicates (idempotent)."""
-    _write_epoch_partition(assigned, epoch_id, snapshot_dir)
+    """Write one epoch under ``__epoch=<id>`` with dynamic partition
+    overwrite — replaying the same epoch rewrites its partition instead
+    of appending duplicates (idempotent). ``kind`` marks the epoch as a
+    ``"full"`` state or a ``"delta"`` (changed rows + tombstones); both
+    carry a per-row ``__op`` ('u' upsert / 'd' tombstone, defaulted to
+    'u' when absent) so the reader merges chains uniformly."""
+    if kind not in ("full", "delta"):
+        raise ValueError(f"kind must be 'full' or 'delta': {kind!r}")
+    out = assigned
+    if "__op" not in out.columns:
+        out = out.withColumn("__op", F.lit("u"))
+    out = out.withColumn("__kind", F.lit(kind))
+    _write_epoch_partition(out, epoch_id, snapshot_dir)
 
 
 def read_snapshot_assigned(
@@ -67,9 +77,13 @@ def read_snapshot_assigned(
     BEFORE it (the base a refresh of that epoch must read, see
     :func:`refresh_snapshot`).
 
-    The max-epoch lookup touches only the partition column (directory
-    listing), not the data files; the filter then prunes to the one
-    live partition."""
+    Delta-aware: the state at epoch E is the latest FULL epoch F <= E
+    with every delta in (F, E] applied — per doc, the row from the
+    highest epoch wins (one hash shuffle on doc_id over the F..E
+    partitions only; the epoch-range filter prunes at the partition
+    level), and tombstoned docs ('d') drop out. A store of only full
+    epochs short-circuits to the single-partition read with no merge
+    shuffle — q159/q161's plan is unchanged by delta support."""
     df = spark.read.parquet(snapshot_dir)
     cand = df if before_epoch is None else df.filter(F.col("__epoch") < before_epoch)
     latest = cand.select(F.max("__epoch").alias("m")).first()["m"]
@@ -78,7 +92,29 @@ def read_snapshot_assigned(
             f"no snapshot epoch in {snapshot_dir}"
             + ("" if before_epoch is None else f" before epoch {before_epoch}")
         )
-    return df.filter(F.col("__epoch") == latest).drop("__epoch")
+    base_full = (
+        cand.filter(F.col("__kind") == "full")
+        .select(F.max("__epoch").alias("m"))
+        .first()["m"]
+    )
+    if base_full is None:
+        raise ValueError(
+            f"no FULL epoch at or before {latest} in {snapshot_dir}; a delta "
+            "chain needs a full anchor (build_snapshot / compact_snapshot)"
+        )
+    if base_full == latest:  # no deltas to merge — plain partition read
+        return df.filter(F.col("__epoch") == latest).drop(
+            "__epoch", "__kind", "__op"
+        )
+    live = cand.filter(
+        (F.col("__epoch") >= base_full) & (F.col("__epoch") <= latest)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("__epoch").desc())
+    return (
+        live.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("__op") != "d"))
+        .drop("__epoch", "__kind", "__op", "__rn")
+    )
 
 
 def assigned_table(docs: DataFrame, edges: DataFrame) -> DataFrame:
@@ -136,6 +172,7 @@ def refresh_snapshot(
     new_incident_edges: DataFrame,
     epoch_id: int,
     on_reingest: str = "replace",
+    mode: str = "full",
 ) -> None:
     """Incremental refresh: fold a new batch into the snapshot without
     re-clustering history.
@@ -177,10 +214,30 @@ def refresh_snapshot(
       3-column assignment — cheap next to the refresh itself). Use
       where upstream already guarantees append-only ingest and a
       re-ingested id indicates a pipeline bug.
+
+    Write volume (``mode``): ``"full"`` (default) writes the complete
+    updated state every epoch — the reader stays a single-partition
+    filter, the right default until write volume dominates (~3 longs
+    per doc per ingest batch: ~240 GB/batch at 1e10 docs). ``"delta"``
+    writes ONLY the rows this batch changed — new docs plus every
+    history doc whose cluster label or n_chars moved (a bridge
+    relabels the absorbed cluster's members; those rows appear, the
+    untouched ones don't) plus tombstones for docs that left the state
+    — so write volume is proportional to the batch's blast radius,
+    not the corpus. The reader reconstructs state as latest-full +
+    deltas (per-doc highest epoch wins); :func:`compact_snapshot`
+    periodically folds the chain back to a full epoch to bound read
+    fan-in, exactly the LSM/table-format compaction pattern. Epoch
+    replay stays idempotent in both modes: the delta is recomputed
+    against the state strictly before ``epoch_id`` and dynamically
+    overwrites its own partition.
     """
     if on_reingest not in ("replace", "error"):
         raise ValueError(f"on_reingest must be 'replace' or 'error': {on_reingest!r}")
+    if mode not in ("full", "delta"):
+        raise ValueError(f"mode must be 'full' or 'delta': {mode!r}")
     hist = read_snapshot_assigned(spark, snapshot_dir, before_epoch=epoch_id)
+    base = hist  # pre-refresh state, the delta diff's reference point
     new_ids = new_docs.select("doc_id")
     if on_reingest == "error":
         n_dup = hist.join(new_ids, "doc_id", "left_semi").count()
@@ -199,25 +256,93 @@ def refresh_snapshot(
     docs = hist.select("doc_id", "n_chars").union(
         new_docs.select("doc_id", "n_chars")
     )
-    write_snapshot_epoch(assigned_table(docs, edges), snapshot_dir, epoch_id)
+    state = assigned_table(docs, edges)
+    if mode == "full":
+        write_snapshot_epoch(state, snapshot_dir, epoch_id)
+        return
+    write_snapshot_epoch(
+        _state_delta(base, state), snapshot_dir, epoch_id, kind="delta"
+    )
+
+
+def _state_delta(base: DataFrame, new_state: DataFrame) -> DataFrame:
+    """Rows the refresh actually changed: upserts ('u') for docs that
+    are new or whose (cluster_id, n_chars) moved, tombstones ('d') for
+    docs present in ``base`` but absent from ``new_state``. One
+    full-outer join keyed on doc_id — both sides are 3-long tables, so
+    the diff costs one co-partitioned shuffle of the assignment, never
+    touches the corpus."""
+    b = base.select(
+        "doc_id",
+        F.col("cluster_id").alias("__b_cluster"),
+        F.col("n_chars").alias("__b_chars"),
+    )
+    j = new_state.join(b, "doc_id", "full_outer")
+    ups = j.filter(
+        F.col("cluster_id").isNotNull()
+        & (
+            F.col("__b_cluster").isNull()
+            | (F.col("__b_cluster") != F.col("cluster_id"))
+            | (F.col("__b_chars") != F.col("n_chars"))
+        )
+    ).select("doc_id", "cluster_id", "n_chars", F.lit("u").alias("__op"))
+    dels = j.filter(F.col("cluster_id").isNull()).select(
+        "doc_id",
+        F.col("__b_cluster").alias("cluster_id"),
+        F.col("__b_chars").alias("n_chars"),
+        F.lit("d").alias("__op"),
+    )
+    return ups.unionByName(dels)
+
+
+def compact_snapshot(
+    spark: SparkSession, snapshot_dir: str, epoch_id: int | None = None
+) -> int:
+    """Fold the delta chain back into one FULL epoch: read the current
+    state and write it as epoch ``epoch_id`` (default: max epoch + 1,
+    so the compaction is itself an idempotently-replayable epoch).
+    After compaction the reader is a single-partition filter again and
+    :func:`prune_snapshot_epochs` can retire the superseded chain.
+    Returns the compaction epoch id."""
+    state = read_snapshot_assigned(spark, snapshot_dir)
+    if epoch_id is None:
+        latest = (
+            spark.read.parquet(snapshot_dir)
+            .select(F.max("__epoch").alias("m"))
+            .first()["m"]
+        )
+        epoch_id = int(latest) + 1
+    write_snapshot_epoch(state, snapshot_dir, epoch_id, kind="full")
+    return epoch_id
 
 
 def prune_snapshot_epochs(
     spark: SparkSession, snapshot_dir: str, keep_last: int = 2
 ) -> list[int]:
-    """Retention for the epoch store: drop all but the newest
-    ``keep_last`` epoch partitions (each epoch is a FULL state, so
-    older epochs are only needed as replay anchors for in-flight
-    refreshes — two generations is the safe default). Returns the
-    pruned epoch ids. Directory removal per partition, no data
-    rewrite — the same cheap retention a table format's VACUUM does."""
+    """Retention for the epoch store: keep the newest ``keep_last``
+    FULL epochs — each a complete replay anchor — plus every delta
+    that chains onto them, and drop everything older. For an all-full
+    store this is exactly "keep the last keep_last epochs"; for a
+    delta store it never strands a delta without its full base (a
+    superseded chain becomes prunable only after compact_snapshot
+    writes the next full epoch past it). Two generations is the safe
+    default so an in-flight refresh replaying against the previous
+    epoch still finds its base. Returns the pruned epoch ids;
+    directory removal per partition, no data rewrite — the same cheap
+    retention a table format's VACUUM does."""
     import shutil
 
     df = spark.read.parquet(snapshot_dir)
-    epochs = sorted(
-        r["__epoch"] for r in df.select("__epoch").distinct().collect()
-    )
-    to_drop = epochs[:-keep_last] if keep_last > 0 else epochs
+    rows = df.select("__epoch", "__kind").distinct().collect()
+    fulls = sorted(r["__epoch"] for r in rows if r["__kind"] == "full")
+    epochs = sorted(r["__epoch"] for r in rows)
+    if keep_last <= 0:
+        to_drop = epochs
+    elif not fulls:
+        to_drop = []  # nothing prunable without a full anchor
+    else:
+        anchor = fulls[-keep_last] if len(fulls) >= keep_last else fulls[0]
+        to_drop = [e for e in epochs if e < anchor]
     for e in to_drop:
         shutil.rmtree(
             os.path.join(snapshot_dir, f"__epoch={e}"), ignore_errors=True

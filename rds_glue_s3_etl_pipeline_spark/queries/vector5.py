@@ -149,27 +149,41 @@ def q163_semantic_dedup_adaptive(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def _tree_probe_dedup(spark, sf_dir, target_cell: int):
-    """Shared engine for q164/q165: build a corpus-adaptive tree index
+def _tree_probe_scored(
+    spark,
+    sf_dir,
+    target_cell: int,
+    p0: int = _NPROBE,
+    p_sub: int = _TREE_PSUB,
+    query_pred=None,
+):
+    """Instrumentable core of the tree probe (shared by q164/q165 and
+    tools/ann_adaptive_probe.py): build a corpus-adaptive tree index
     (trained coarse codebook, sampled sub-codebooks per level from
     adaptive_grid(count, target_cell)), assign the whole corpus to
-    leaf blocks, then match NEW vectors (vec_id % 5 == 0) against
-    history only inside probed leaves: top-{_NPROBE} coarse cells,
-    then the top-{_TREE_PSUB} sub-cells per probed branch at each
-    deeper level — {_NPROBE} x {_TREE_PSUB}^(depth-1) leaves per new
-    vector.
+    leaf blocks, then score NEW vectors (vec_id % 5 == 0; optionally
+    narrowed further by ``query_pred`` so a 100x probe's exact
+    ground-truth side stays affordable) against history inside probed
+    leaves only: top-``p0`` coarse cells, then the top-``p_sub``
+    sub-cells per probed branch at each deeper level —
+    p0 x p_sub^(depth-1) leaves per new vector.
+
+    Returns (scored, ks): the PRE-threshold candidate set
+    (new_vec_id, hist_vec_id, label, cos_sim) — the probe tool counts
+    it to measure candidate volume across (grid, p0, p_sub) dials —
+    plus the per-level codebook sizes.
 
     Scale shape: leaf size is ~target_cell by construction, so
-    candidates per new vector are nprobe_leaves x target_cell — they
+    candidates per new vector are probed_leaves x target_cell — they
     grow POLY-LOG with the corpus (the probed FRACTION falls as the
     grid refines) where q150's fixed grid held the fraction constant
     and went quadratic (45x/decade, SCALE.md). The recall price of the
     falling fraction is measured, never assumed: q166 gates match
     recovery against the exact q132 on the same data, and the
-    (k, nprobe, recall, candidates) grid in SCALE.md records the dial.
-    Assignment cost is sum(ks) ≈ O(log N) broadcast-codebook scores
-    per vector; nothing shuffles on a corpus-growing key except the
-    block-keyed joins themselves.
+    (grid, probes, recall, candidates) table in SCALE.md records the
+    dial. Assignment cost is sum(ks) ≈ O(log N) broadcast-codebook
+    scores per vector; nothing shuffles on a corpus-growing key except
+    the block-keyed joins themselves.
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     ev = e.select("vec_id", "embedding")
@@ -206,7 +220,10 @@ def _tree_probe_dedup(spark, sf_dir, target_cell: int):
     # Probe level 0: rank ALL coarse cells per new vector (broadcast
     # codebook, the q150 discipline), keep the top nprobe; carry the
     # query vector + norm down the tree for the deeper rankings.
-    new_q = ev.filter(F.col("vec_id") % 5 == 0).select(
+    new_q = ev.filter(F.col("vec_id") % 5 == 0)
+    if query_pred is not None:
+        new_q = new_q.filter(query_pred)
+    new_q = new_q.select(
         F.col("vec_id").alias("p_vec"),
         F.col("embedding").alias("qv"),
         V.norm(F.col("embedding")).alias("qnrm"),
@@ -222,11 +239,11 @@ def _tree_probe_dedup(spark, sf_dir, target_cell: int):
             F.round(V.cosine(F.col("qv"), F.col("cv")), 4).alias("c_cos"),
         )
         .withColumn("rn", F.row_number().over(w_p0))
-        .filter(F.col("rn") <= _NPROBE)
+        .filter(F.col("rn") <= p0)
         .drop("c_cos", "rn")
     )
     # Deeper levels: within each probed branch, rank that block's
-    # sub-codebook and keep the top _TREE_PSUB sub-cells.
+    # sub-codebook and keep the top p_sub sub-cells.
     for prefix_cols, id_out, sub in level_subs:
         scos = F.round(
             V.dot(F.col("qv"), F.col("__sv")) / (F.col("qnrm") * F.col("__snrm")),
@@ -239,7 +256,7 @@ def _tree_probe_dedup(spark, sf_dir, target_cell: int):
             probe.join(F.broadcast(sub), list(prefix_cols))
             .withColumn("__scos", scos)
             .withColumn("rn", F.row_number().over(w_lvl))
-            .filter(F.col("rn") <= _TREE_PSUB)
+            .filter(F.col("rn") <= p_sub)
             .drop("__sv", "__snrm", "__scos", "rn")
         )
     probe = probe.select(
@@ -271,13 +288,19 @@ def _tree_probe_dedup(spark, sf_dir, target_cell: int):
             F.col("n.label").cast("long").alias("label"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= _NEAR_DUP_THRESHOLD)
     )
+    return scored, ks
+
+
+def best_match_per_new(scored):
+    """q132/q150's decision tail: threshold then the best historical
+    match per new vector (cos desc, id tie-break)."""
     w_best = Window.partitionBy("new_vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("hist_vec_id").asc()
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w_best))
+        scored.filter(F.col("cos_sim") >= _NEAR_DUP_THRESHOLD)
+        .withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
         .select(
             "new_vec_id",
@@ -286,6 +309,14 @@ def _tree_probe_dedup(spark, sf_dir, target_cell: int):
             "cos_sim",
         )
     )
+
+
+def _tree_probe_dedup(spark, sf_dir, target_cell: int):
+    """q164/q165's composition of the instrumentable core: probe with
+    the registered dials, keep matches above the near-dup threshold,
+    best match per new vector — the q132/q150 output contract."""
+    scored, _ks = _tree_probe_scored(spark, sf_dir, target_cell)
+    return best_match_per_new(scored)
 
 
 @query("q164_incremental_vector_dedup_adaptive", oracle=_Q150_ORACLE, tags=("vector", "dedup", "EXT"))
