@@ -77,6 +77,23 @@ _TREE_PSUB = 2            # probe branching per sub-level of the tree
 # and shuffle-joins co-located by block with identical results.
 _SUB_BROADCAST_ROWS = 1_000_000
 
+# Per-block pair fan-out cap (q163): inside a block, every member is
+# compared against the block's first _PAIR_HUB_CAP members in md5
+# order (the hubs) instead of all-pairs. For blocks <= the cap this
+# IS all-pairs (bit-identical, which keeps the sf0.01 oracle exact);
+# above it, per-block work is hub_cap x |block| — LINEAR in block
+# size. Why blocks exceed the target at all: near-clone groups rank
+# every centroid identically, so NO geometry-based split can separate
+# them (measured at 100x: mean block 4.97 against target 4, but one
+# 2195-member clone-dense block -> 35M candidate pairs, 59% of query
+# wall). For dedup connectivity the hub pattern is the right bound: a
+# dense block's members connect through the hubs (star edges reach
+# the same components); what a capped block can miss is a pair whose
+# two members are BOTH similar to each other and dissimilar to every
+# hub — rare inside a block that is only large because it is dense.
+# Same df-cap discipline as MinHash's MAX_SHINGLE_DF=64.
+_PAIR_HUB_CAP = 64
+
 
 def _count_rows(e) -> int:
     """Corpus count driving the grid choice — one column-pruned count
@@ -104,6 +121,13 @@ def q163_semantic_dedup_adaptive(spark, sf_dir):
     fixture. Survivor policy (keep-the-outlier per component, q143's
     contract) is untouched; what the finer grid trades is pair recall,
     measured by q167's gate and the SCALE.md decade table.
+
+    Two bounds make the whole pipeline linear, not just the grid:
+    blocks are bounded by construction (the grid), and pair fan-out
+    inside a block is bounded by the hub cap (_PAIR_HUB_CAP) — which
+    only engages on blocks the geometry CANNOT split (near-clone
+    groups rank every centroid identically at every depth; at fixture
+    scale no block reaches the cap, so the oracle equality is exact).
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ks = adaptive_grid(
@@ -127,8 +151,19 @@ def q163_semantic_dedup_adaptive(spark, sf_dir):
         )
         block_cols.append(f"s{i}_id")
         n_blocks *= k_sub
-    a, b = cur.alias("a"), cur.alias("b")
-    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    # Hub-capped pair generation: rank members within their block by
+    # the same seedless md5 order the codebooks use; the hub side is
+    # rank <= cap, and (a.rank < b.rank) emits each unordered pair
+    # exactly once. Blocks <= cap get ALL pairs (so the fixture-scale
+    # oracle equality with q149 is untouched); bigger blocks do
+    # cap x |block| work instead of |block|² — see _PAIR_HUB_CAP.
+    w_rank = Window.partitionBy(*block_cols).orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+    )
+    ranked = cur.withColumn("__brn", F.row_number().over(w_rank))
+    a = ranked.filter(F.col("__brn") <= _PAIR_HUB_CAP).alias("a")
+    b = ranked.alias("b")
+    cond = F.col("a.__brn") < F.col("b.__brn")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cos = F.round(
