@@ -225,6 +225,60 @@ def q161_snapshot_stream_ingest(spark, sf_dir):
     return survivors(read_snapshot_assigned(spark, snapshot_dir))
 
 
+@query("q168_snapshot_delta_lifecycle", oracle=_Q124_ORACLE, tags=("dedup", "pipeline", "EXT"))
+def q168_snapshot_delta_lifecycle(spark, sf_dir):
+    """q159's lifecycle under DELTA-ENCODED epochs, end-to-end under
+    the oracle: build the historical clustering as full epoch 0,
+    fold the new batch in as a DELTA epoch 1 (only the batch's blast
+    radius is written — new docs plus relabeled cluster members plus
+    tombstones), COMPACT the chain back to a full epoch 2 (whose
+    input is the reader's latest-full + delta merge), prune the
+    superseded chain, and read the survivor table — which must still
+    hash-match q124's full-recompute oracle. One query therefore
+    verifies every moving part of the write-optimized epoch store:
+    the delta diff, the chain-merge read, compaction, and
+    chain-aware retention. tests/test_corpus_snapshot.py pins the
+    per-epoch row contracts on hand corpora; this registers the
+    production composition under the driver's gate.
+
+    Scale: identical read/refresh shape to q159 — the difference is
+    write volume (measured in SCALE.md: the delta epoch is ~1.12x
+    the batch in rows vs a full state rewrite, 46x fewer bytes at
+    100x with a 1% batch), at the price of a per-doc merge window
+    across the (bounded) chain until the next compaction.
+    """
+    from ..operators.corpus_snapshot import (
+        build_snapshot,
+        compact_snapshot,
+        prune_snapshot_epochs,
+        read_snapshot_assigned,
+        refresh_snapshot,
+        survivors,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    is_new = F.col("doc_id") % _SPLIT_MOD == 0
+    sh = _hashed_shingles(spark, sf_dir)
+    sh_hist = sh.filter(F.col("doc_id") % _SPLIT_MOD != 0)
+
+    snapshot_dir = scratch_dir("q168_snapshot_")
+    build_snapshot(
+        docs.filter(~is_new), _staged_edges(sh_hist), snapshot_dir, epoch_id=0
+    )
+    new_ids = docs.filter(is_new).select("doc_id")
+    refresh_snapshot(
+        spark,
+        snapshot_dir,
+        docs.filter(is_new),
+        _incident_edges(sh, new_ids),
+        epoch_id=1,
+        mode="delta",
+    )
+    compact_snapshot(spark, snapshot_dir, epoch_id=2)
+    prune_snapshot_epochs(spark, snapshot_dir, keep_last=1)
+    return survivors(read_snapshot_assigned(spark, snapshot_dir))
+
+
 _SNAPSHOT_CACHE: dict[tuple[str, tuple], str] = {}
 
 

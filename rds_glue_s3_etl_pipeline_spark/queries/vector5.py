@@ -236,19 +236,20 @@ def _tree_probe_scored(
     cur = fin.withColumn("nrm", V.norm(F.col("embedding")))
     block_cols = ["c_id"]
     n_blocks = ks[0]
-    level_subs = []  # (prefix_cols, id_out, codebook df) per sub-level
+    level_subs = []  # (prefix_cols, id_out, codebook df, bcast?) per sub-level
     for i, k_sub in enumerate(ks[1:]):
         id_out = f"s{i}_id"
         sub = block_sub_codebook(cur, tuple(block_cols), k_sub, id_out)
+        can_bcast = n_blocks * k_sub <= _SUB_BROADCAST_ROWS
         cur = block_sub_assign(
             cur,
             tuple(block_cols),
             k_sub,
             id_out,
-            hint_broadcast=(n_blocks * k_sub <= _SUB_BROADCAST_ROWS),
+            hint_broadcast=can_bcast,
             sub=sub,
         )
-        level_subs.append((tuple(block_cols), id_out, sub))
+        level_subs.append((tuple(block_cols), id_out, sub, can_bcast))
         block_cols.append(id_out)
         n_blocks *= k_sub
 
@@ -278,8 +279,11 @@ def _tree_probe_scored(
         .drop("c_cos", "rn")
     )
     # Deeper levels: within each probed branch, rank that block's
-    # sub-codebook and keep the top p_sub sub-cells.
-    for prefix_cols, id_out, sub in level_subs:
+    # sub-codebook and keep the top p_sub sub-cells. Broadcast the
+    # level codebook only while it is broadcast-sized (same bound as
+    # the assignment side); past that the join keys on the block
+    # prefix and shuffle-joins with identical results.
+    for prefix_cols, id_out, sub, can_bcast in level_subs:
         scos = F.round(
             V.dot(F.col("qv"), F.col("__sv")) / (F.col("qnrm") * F.col("__snrm")),
             4,
@@ -288,7 +292,7 @@ def _tree_probe_scored(
             F.desc("__scos"), F.asc(id_out)
         )
         probe = (
-            probe.join(F.broadcast(sub), list(prefix_cols))
+            probe.join(F.broadcast(sub) if can_bcast else sub, list(prefix_cols))
             .withColumn("__scos", scos)
             .withColumn("rn", F.row_number().over(w_lvl))
             .filter(F.col("rn") <= p_sub)
