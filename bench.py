@@ -92,6 +92,7 @@ HEADLINE = [
     "q163_semantic_dedup_adaptive",
     "q164_incremental_vector_dedup_adaptive",
     "q165_vector_dedup_tree_probe",
+    "q168_snapshot_delta_lifecycle",
 ]
 
 

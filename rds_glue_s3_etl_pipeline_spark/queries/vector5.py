@@ -42,7 +42,6 @@ from ..operators.similarity import (
     block_sub_assign,
     block_sub_codebook,
     kmeans_assign,
-    spherical_kmeans,
     spherical_kmeans_codebook,
 )
 from .registry import query
@@ -77,6 +76,20 @@ _TREE_PSUB = 2            # probe branching per sub-level of the tree
 # and shuffle-joins co-located by block with identical results.
 _SUB_BROADCAST_ROWS = 1_000_000
 
+# Lloyd training corpus cap: the coarse codebook trains on the first
+# _TRAIN_SAMPLE vectors in seedless md5(vec_id) order (md5 is uniform,
+# so this is a uniform deterministic sample — same discipline as
+# _init_centroids, whose first-k pick is by construction a PREFIX of
+# this sample, so initialization is unchanged). Below the cap the
+# sample IS the corpus and training is bit-identical to the
+# fixture-pinned forms (oracle equality intact); above it the k-means
+# update rounds touch _TRAIN_SAMPLE rows instead of N — the standard
+# production pattern (train on a sample, assign everything) that
+# removes the O(N x k x iters) train term the 100x diagnosis measured
+# at 41.8 s of q163's wall. The final assignment pass stays over the
+# full corpus.
+_TRAIN_SAMPLE = 10_000
+
 # Per-block pair fan-out cap (q163): inside a block, every member is
 # compared against the block's first _PAIR_HUB_CAP members in md5
 # order (the hubs) instead of all-pairs. For blocks <= the cap this
@@ -100,6 +113,15 @@ def _count_rows(e) -> int:
     job (parquet row-group metadata); the only driver-side value the
     adaptive family needs."""
     return e.count()
+
+
+def _train_slice(e, id_col: str = "vec_id"):
+    """The deterministic Lloyd-training sample (see _TRAIN_SAMPLE):
+    first _TRAIN_SAMPLE rows in md5(id) order — TakeOrdered (per-
+    partition heap), never a global sort."""
+    return e.orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    ).limit(_TRAIN_SAMPLE)
 
 
 @query("q163_semantic_dedup_adaptive", oracle=_Q149_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
@@ -133,8 +155,12 @@ def q163_semantic_dedup_adaptive(spark, sf_dir):
     ks = adaptive_grid(
         _count_rows(e), _ADAPT_TARGET_BLOCK, coarse_k=_KM_K, fanout=_SUB_K
     )
+    train = _train_slice(e)
+    cent = spherical_kmeans_codebook(
+        train, _init_centroids(train, k=ks[0]), iters=_KM_ITERS
+    )
     fin = (
-        spherical_kmeans(e, _init_centroids(e, k=ks[0]), iters=_KM_ITERS)
+        kmeans_assign(e, cent)
         .withColumn("nrm", V.norm(F.col("embedding")))
         .localCheckpoint(eager=True)
     )
@@ -225,8 +251,9 @@ def _tree_probe_scored(
     ks = adaptive_grid(
         _count_rows(ev), target_cell, coarse_k=_KM_K, fanout=_SUB_K
     )
+    train = _train_slice(ev)
     cent = spherical_kmeans_codebook(
-        ev, _init_centroids(ev, k=ks[0]), iters=_KM_ITERS
+        train, _init_centroids(train, k=ks[0]), iters=_KM_ITERS
     )
     fin = (
         kmeans_assign(ev, cent)
