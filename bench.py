@@ -93,6 +93,7 @@ HEADLINE = [
     "q164_incremental_vector_dedup_adaptive",
     "q165_vector_dedup_tree_probe",
     "q168_snapshot_delta_lifecycle",
+    "q169_adaptive_grid_report",
 ]
 
 

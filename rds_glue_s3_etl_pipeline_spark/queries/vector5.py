@@ -124,6 +124,43 @@ def _train_slice(e, id_col: str = "vec_id"):
     ).limit(_TRAIN_SAMPLE)
 
 
+def _semantic_tree(spark, sf_dir):
+    """q163/q169's shared index build: adaptive grid from the corpus
+    count, coarse codebook Lloyd-trained on the bounded md5 sample
+    (_TRAIN_SAMPLE), full-corpus assignment, then one md5-sampled
+    sub-codebook level per remaining grid entry. Returns
+    (fin, blocked, block_cols): the coarse assignment carrying the
+    survivor-policy cosine, the fully block-assigned corpus, and the
+    block key columns."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ks = adaptive_grid(
+        _count_rows(e), _ADAPT_TARGET_BLOCK, coarse_k=_KM_K, fanout=_SUB_K
+    )
+    train = _train_slice(e)
+    cent = spherical_kmeans_codebook(
+        train, _init_centroids(train, k=ks[0]), iters=_KM_ITERS
+    )
+    fin = (
+        kmeans_assign(e, cent)
+        .withColumn("nrm", V.norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
+    )
+    cur = fin.select("vec_id", "c_id", "embedding", "nrm")
+    block_cols = ["c_id"]
+    n_blocks = ks[0]
+    for i, k_sub in enumerate(ks[1:]):
+        cur = block_sub_assign(
+            cur,
+            tuple(block_cols),
+            k_sub,
+            f"s{i}_id",
+            hint_broadcast=(n_blocks * k_sub <= _SUB_BROADCAST_ROWS),
+        )
+        block_cols.append(f"s{i}_id")
+        n_blocks *= k_sub
+    return fin, cur, block_cols
+
+
 @query("q163_semantic_dedup_adaptive", oracle=_Q149_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
 def q163_semantic_dedup_adaptive(spark, sf_dir):
     """SemDeDup with a CORPUS-ADAPTIVE hierarchical grid: per-level
@@ -151,32 +188,7 @@ def q163_semantic_dedup_adaptive(spark, sf_dir):
     groups rank every centroid identically at every depth; at fixture
     scale no block reaches the cap, so the oracle equality is exact).
     """
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ks = adaptive_grid(
-        _count_rows(e), _ADAPT_TARGET_BLOCK, coarse_k=_KM_K, fanout=_SUB_K
-    )
-    train = _train_slice(e)
-    cent = spherical_kmeans_codebook(
-        train, _init_centroids(train, k=ks[0]), iters=_KM_ITERS
-    )
-    fin = (
-        kmeans_assign(e, cent)
-        .withColumn("nrm", V.norm(F.col("embedding")))
-        .localCheckpoint(eager=True)
-    )
-    cur = fin.select("vec_id", "c_id", "embedding", "nrm")
-    block_cols = ["c_id"]
-    n_blocks = ks[0]
-    for i, k_sub in enumerate(ks[1:]):
-        cur = block_sub_assign(
-            cur,
-            tuple(block_cols),
-            k_sub,
-            f"s{i}_id",
-            hint_broadcast=(n_blocks * k_sub <= _SUB_BROADCAST_ROWS),
-        )
-        block_cols.append(f"s{i}_id")
-        n_blocks *= k_sub
+    fin, cur, block_cols = _semantic_tree(spark, sf_dir)
     # Hub-capped pair generation: rank members within their block by
     # the same seedless md5 order the codebooks use; the hub side is
     # rank <= cap, and (a.rank < b.rank) emits each unordered pair
@@ -626,3 +638,78 @@ def q167_semantic_dedup_grid_gate(spark, sf_dir):
             stats(q149_semantic_dedup_2level(spark, sf_dir), "fixed_2level")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q169: the grid health report — per-level block-count / max / mean,
+# the observable behind both the adaptive-grid law and the hub cap.
+# --------------------------------------------------------------------------
+
+_Q169_ORACLE = f"""
+WITH {_km_ctes(_KM_K, _KM_ITERS)},
+fin AS (
+  SELECT a.vec_id, a.c_id, e.v
+  FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
+),
+sub AS (
+  SELECT c_id, vec_id AS s_id, v AS sv FROM (
+    SELECT c_id, vec_id, v,
+           ROW_NUMBER() OVER (PARTITION BY c_id
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM fin
+  ) WHERE rn <= {_SUB_K}
+),
+sa AS (
+  SELECT vec_id, c_id, s_id FROM (
+    SELECT f.vec_id, f.c_id, s.s_id,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(f.v, s.sv), 4) DESC,
+                                       s.s_id) AS rn
+    FROM fin f JOIN sub s ON s.c_id = f.c_id
+  ) WHERE rn = 1
+),
+l0 AS (SELECT c_id, COUNT(*) AS c FROM fin GROUP BY c_id),
+l1 AS (SELECT c_id, s_id, COUNT(*) AS c FROM sa GROUP BY c_id, s_id)
+SELECT CAST(0 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(MAX(c) AS BIGINT) AS max_block, CAST(SUM(c) AS BIGINT) AS n_rows,
+       ROUND(SUM(c) / COUNT(*), 4) AS avg_block
+FROM l0
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+       CAST(SUM(c) AS BIGINT), ROUND(SUM(c) / COUNT(*), 4)
+FROM l1
+"""
+
+
+@query("q169_adaptive_grid_report", oracle=_Q169_ORACLE, tags=("vector", "dedup", "EXT"))
+def q169_adaptive_grid_report(spark, sf_dir):
+    """The adaptive grid's HEALTH REPORT: per hierarchy level, block
+    count, largest block, row total, and mean block size — the index
+    build's skew observable (q148's codebook-balance pattern applied
+    to the blocking tree). This is the number that told the 100x
+    diagnosis its story: mean 4.97 against target 4 (the grid works)
+    but max 2,195 (a clone-dense block geometry cannot split — the
+    row that justifies the hub cap, and the alarm a production corpus
+    build pages on when a crawl dumps near-identical content). The
+    oracle unrolls the same k-means + sub-codebook CTEs as q149/q163
+    and aggregates block sizes per level; at fixture scale the grid is
+    (16, 8), so two report rows, hash-exact."""
+    _fin, cur, block_cols = _semantic_tree(spark, sf_dir)
+    out = None
+    for lvl in range(len(block_cols)):
+        sizes = cur.groupBy(*block_cols[: lvl + 1]).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        stats = sizes.agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.max("c").alias("max_block"),
+            F.sum("c").cast("long").alias("n_rows"),
+        ).select(
+            F.lit(lvl).cast("long").alias("level"),
+            "n_blocks",
+            "max_block",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("n_blocks"), 4).alias("avg_block"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
