@@ -94,6 +94,9 @@ HEADLINE = [
     "q165_vector_dedup_tree_probe",
     "q168_snapshot_delta_lifecycle",
     "q169_adaptive_grid_report",
+    "q170_repeated_spans",
+    "q171_span_scrub",
+    "q174_bm25_topk",
 ]
 
 

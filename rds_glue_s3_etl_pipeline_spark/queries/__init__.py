@@ -23,6 +23,7 @@ from . import text  # noqa: F401
 from . import text2  # noqa: F401
 from . import text3  # noqa: F401
 from . import text4  # noqa: F401
+from . import text5  # noqa: F401
 from . import graph2  # noqa: F401
 from . import vector  # noqa: F401
 from . import vector2  # noqa: F401
@@ -35,4 +36,5 @@ from . import scale3  # noqa: F401
 from . import scale4  # noqa: F401
 from . import scale5  # noqa: F401
 from . import jobs  # noqa: F401
+from . import planning  # noqa: F401
 from . import corpus  # noqa: F401

@@ -1,0 +1,277 @@
+"""Corpus planning + retrieval batch: the decisions a data team makes
+AFTER the stats queries have run — how much of each slice to sample
+(q172), where to set the quality bar for a target keep rate (q173),
+and BM25 lexical retrieval over the corpus (q174).
+
+All three are aggregation + broadcast-scalar compositions: the only
+shuffles are per-slice hash aggregates and (q173) one range partition
+for the exact-rank threshold; nothing ever collects to the driver.
+
+Reference parity: none of these exist in the reference pipeline
+(gule_test_job.py) — EXT operators from the LLM-pipeline north star
+(SURVEY.md §2.11, Corpus building family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as X
+from .registry import query
+
+# --------------------------------------------------------------------------
+# q172: mixture sampling plan. Given target language weights and a
+# token budget (here: half the corpus chars, the ablation-standard
+# "train on 50%" budget), compute per-language sampling rates and
+# epoch counts — the table (weights, epochs, oversampling flags) that
+# configures the sampler in a real pretraining run (The Pile / LLaMA
+# style mixture tables).
+# --------------------------------------------------------------------------
+
+# Target mixture by language. Literal constants shared with the oracle
+# SQL below so the two can never drift.
+_MIX_WEIGHTS = {"en": 0.50, "de": 0.15, "fr": 0.15, "es": 0.10, "zh": 0.10}
+
+_MIX_CASE = "CAST(CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items())
+) + " ELSE 0.0 END AS DOUBLE)"
+
+_Q172_ORACLE = f"""
+WITH avail AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS available_chars
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(available_chars) AS BIGINT) AS total_chars FROM avail),
+plan AS (
+  SELECT lang, available_chars,
+         ({_MIX_CASE}) AS weight,
+         CAST(FLOOR((total_chars // 2) * ({_MIX_CASE})) AS BIGINT) AS target_chars
+  FROM avail, tot
+)
+SELECT lang, available_chars, weight, target_chars,
+       target_chars / CAST(available_chars AS DOUBLE) AS sampling_rate,
+       CAST(CEIL(target_chars / CAST(available_chars AS DOUBLE)) AS BIGINT) AS n_epochs,
+       target_chars / CAST(available_chars AS DOUBLE) > 1.0 AS oversampled
+FROM plan
+"""
+
+
+@query("q172_mixture_plan", oracle=_Q172_ORACLE, tags=("pipeline", "EXT"))
+def q172_mixture_plan(spark, sf_dir):
+    """Per-language sampling plan against a fixed target mixture and a
+    half-corpus char budget: available chars, target chars
+    (budget x weight), sampling rate, epochs (ceil of rate — how many
+    passes the sampler makes when a slice is smaller than its target),
+    and the oversampling flag. One map-side-combinable groupBy plus a
+    broadcast of the single total row — the whole plan is a few rows
+    at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("available_chars")
+    )
+    tot = avail.agg(F.sum("available_chars").cast("long").alias("total_chars"))
+    weight = F.expr(_MIX_CASE)
+    plan = avail.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "available_chars",
+        weight.alias("weight"),
+        F.floor(F.expr("total_chars div 2") * weight)
+        .cast("long")
+        .alias("target_chars"),
+    )
+    rate = F.col("target_chars") / F.col("available_chars").cast("double")
+    return plan.select(
+        "lang",
+        "available_chars",
+        "weight",
+        "target_chars",
+        rate.alias("sampling_rate"),
+        F.ceil(rate).cast("long").alias("n_epochs"),
+        (rate > 1.0).alias("oversampled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q173: quality-threshold calibration. "Keep the top 60% by quality"
+# needs the 40th-percentile quality value — computed as an EXACT rank
+# selection (k-th smallest, k = ceil(0.4 n)) so both engines pick an
+# actual data value and no interpolation rule can diverge. The rank is
+# the two-pass range-partitioned global_row_number (operators/
+# prefix.py), NOT a single-partition window — the same selection runs
+# on 1e10 rows with thousands of partitions. The report shows what
+# that one global bar does to each source (a low-quality source gets
+# gutted; the table is the evidence).
+# --------------------------------------------------------------------------
+
+_KEEP_TOP = 0.6  # keep the top 60% => threshold at the 40th percentile
+
+
+def _q173_oracle() -> str:
+    from .text import _SW_SQL
+
+    quality = f"""
+       0.5 * (LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / LENGTH(text))
+         + 0.3 * LEAST((({_SW_SQL}) / array_length(regexp_split_to_array(TRIM(text), '\\s+'))) * 5, 1.0)
+         + 0.2 * (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 20000
+                       THEN 1.0 ELSE 0.0 END)
+    """
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, ({quality}) AS quality FROM documents
+),
+ranked AS (
+  SELECT quality, ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn FROM scored
+),
+k AS (
+  SELECT CAST(CEIL({1.0 - _KEEP_TOP} * CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS k
+  FROM scored
+),
+th AS (SELECT quality AS threshold FROM ranked, k WHERE rn = k.k)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s.quality >= th.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       SUM(CASE WHEN s.quality >= th.threshold THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS keep_rate,
+       ANY_VALUE(th.threshold) AS threshold
+FROM scored s, th
+GROUP BY s.source
+"""
+
+
+@query("q173_quality_calibration", oracle=_q173_oracle(), tags=("pipeline", "quality", "EXT"))
+def q173_quality_calibration(spark, sf_dir):
+    """Calibrate the quality gate to a target keep rate: the global
+    threshold is the exact k-th smallest quality (k = ceil(0.4 n),
+    two-pass range-partitioned rank — no single-partition window, no
+    driver collect), then every source's keep rate under that one bar.
+    Ties at the threshold keep rate above the target — reported, not
+    hidden."""
+    from ..operators.prefix import global_row_number
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", X.quality_score("text").alias("quality"))
+    ranked = global_row_number(scored, ["quality", "doc_id"], out_col="rn")
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("rn")
+            == F.ceil(F.lit(1.0 - _KEEP_TOP) * F.col("n").cast("double")).cast("long")
+        )
+        .select(F.col("quality").alias("threshold"))
+    )
+    kept = (F.col("quality") >= F.col("threshold")).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            (F.sum(kept) / F.count(F.lit(1)).cast("double")).alias("keep_rate"),
+            F.any_value(F.col("threshold")).alias("threshold"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q174: BM25 top-k lexical retrieval (Okapi, k1=1.2, b=0.75) for a
+# fixed conjunctive query. Term frequencies come from the padded
+# occurrence-count trick (exact, no explode); document frequencies and
+# avgdl are one scalar aggregate broadcast back; per-term scores are
+# decimal-truncated to 8dp before the fixed-order sum so a 1-ulp ln()
+# difference between engines cannot reorder the top-k.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "table", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+def _q174_oracle() -> str:
+    from .text import _occ_sql
+
+    padded = "CONCAT(' ', LOWER(text), ' ')"
+    tf_cols = ",\n       ".join(
+        f"{_occ_sql(padded, f' {t} ')} AS tf_{t}" for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS
+    )
+    score_terms = " + ".join(
+        f"""CAST(CAST(
+          ln(1 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))
+          * (tf_{t} * ({_BM25_K1} + 1))
+          / (tf_{t} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+        AS DECIMAL(18,8)) AS DOUBLE)"""
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id,
+       {tf_cols},
+       CAST(array_length(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         {df_cols}
+  FROM tf
+)
+SELECT doc_id, ({score_terms}) AS bm25
+FROM tf, stats
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@query("q174_bm25_topk", oracle=_q174_oracle(), tags=("text", "retrieval", "EXT"))
+def q174_bm25_topk(spark, sf_dir):
+    """BM25 top-k: one scan computes per-doc term frequencies and
+    length, one scalar aggregate (N, avgdl, per-term df) broadcasts
+    back, and the ranking is TakeOrderedAndProject — no global sort,
+    no inverted index needed until the query VOLUME (not the corpus)
+    grows; the inverted-index variant is q77's TF-IDF explode shape
+    with this scorer."""
+    d = load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    tf = d.select(
+        "doc_id",
+        *[
+            X.occurrences(padded, f" {t} ").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+        X.token_count("text").cast("long").alias("dl"),
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    def term_score(t: str):
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        tf_c = F.col(f"tf_{t}")
+        denom = tf_c + _BM25_K1 * (
+            1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return (idf * (tf_c * (_BM25_K1 + 1)) / denom).cast("decimal(18,8)").cast(
+            "double"
+        )
+
+    score = None
+    for t in _BM25_TERMS:
+        score = term_score(t) if score is None else score + term_score(t)
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

@@ -1,0 +1,244 @@
+"""Fifth text batch — exact-substring (repeated-span) deduplication,
+the Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+Better" operator family: find maximal duplicated token spans across the
+corpus (q170) and scrub every non-first occurrence out of the training
+text (q171).
+
+Chunk-level dedup (q115) works on FIXED non-overlapping 8-token blocks,
+so a duplicated passage that straddles a chunk boundary is invisible to
+it. These queries slide the window at stride 1, so any duplicated run
+of >= W tokens is caught regardless of alignment, and adjacent
+duplicated windows are merged into maximal spans (gaps-and-islands).
+
+100 TB shape
+------------
+* One explode produces ~n_tokens window rows per doc; every downstream
+  shuffle is keyed on the fixed-width md5 of the window text (16
+  bytes), never the text itself, so shuffle volume is bounded by token
+  count x 16B, not token count x window width. md5 collisions are
+  negligible even at 1e12 windows (birthday bound ~n^2/2^129 ~ 1e-15)
+  and a collision only over-marks a span — use a 256-bit hash if even
+  that is unacceptable.
+* The occurrence-count aggregate is a partial (map-side) hash agg; the
+  dup-mark join is a shuffle join on the hash. A boilerplate window
+  repeated millions of times is a hot key — AQE skew-join splitting
+  handles it (enabled session-wide), and the df-cap pattern of
+  operators/dedup.py (drop windows above a document-frequency ceiling,
+  they carry no dedup signal) is the explicit escape hatch.
+* Island merging and span stats are window functions partitioned by
+  doc_id — per-partition work is bounded by document length, never by
+  corpus size.
+
+Reference parity: the reference pipeline (gule_test_job.py) has no
+sub-document dedup; these are EXT operators from the LLM-pipeline
+north star (SURVEY.md §2.11, Dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as X
+from .registry import query
+
+# Window width in tokens. 8 keeps parity with q115's chunk size; real
+# pipelines use 50 (Lee et al.) — the plan shape is identical.
+_W = 8
+
+# Shared CTE: every stride-1 window of _W tokens, keyed by md5.
+_WIN_CTE = f"""
+tok AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks FROM documents
+),
+win AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS s, md5(array_to_string(toks[i+1:i+{_W}], ' ')) AS h
+  FROM tok, unnest(generate_series(0, len(toks)-{_W})) AS t(i)
+)
+"""
+
+
+def _windows(spark, sf_dir):
+    """(doc_id, toks, n_tokens) and the stride-1 window table
+    (doc_id, s, h) with h = md5 of the W-token window text."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        X.tokens("text").alias("toks"),
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    win = (
+        tok.filter(F.col("n_tokens") >= _W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(size(toks) - {_W} as int)),"
+                    f" i -> md5(cast(array_join(slice(toks, i + 1, {_W}), ' ') as binary)))"
+                )
+            ).alias("s", "h"),
+        )
+        .withColumn("s", F.col("s").cast("long"))
+    )
+    return tok, win
+
+
+_Q170_ORACLE = f"""
+WITH {_WIN_CTE},
+duph AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+marked AS (SELECT doc_id, s FROM win JOIN duph USING (h)),
+isl AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+                OR s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) > {_W}
+              THEN 1 ELSE 0 END AS new_isl
+  FROM marked
+),
+isl2 AS (
+  SELECT doc_id, s,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, isl_id, MIN(s) AS a, MAX(s) + {_W} - 1 AS b
+  FROM isl2 GROUP BY doc_id, isl_id
+)
+SELECT sp.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(b - a + 1) AS BIGINT) AS dup_tokens,
+       CAST(MAX(b - a + 1) AS BIGINT) AS longest_span,
+       CAST(ANY_VALUE(len(t.toks)) AS BIGINT) AS n_tokens,
+       CAST(SUM(b - a + 1) AS DOUBLE) / ANY_VALUE(len(t.toks)) AS dup_frac
+FROM spans sp JOIN tok t ON sp.doc_id = t.doc_id
+GROUP BY sp.doc_id
+"""
+
+
+@query("q170_repeated_spans", oracle=_Q170_ORACLE, tags=("text", "dedup", "EXT"))
+def q170_repeated_spans(spark, sf_dir):
+    """Maximal duplicated token spans per document (exact-substring
+    dedup signal, Lee et al. 2021 shape): every stride-1 window of W
+    tokens whose md5 occurs more than once anywhere in the corpus is a
+    duplicated window; per doc, runs of duplicated windows with start
+    gaps <= W merge into maximal spans (fixed W makes window ends
+    monotone in starts, so a lag() gap test is the whole
+    gaps-and-islands machinery). Output: span count, duplicated token
+    coverage, longest span, and coverage fraction — the report a
+    corpus team reads before deciding the scrub threshold."""
+    tok, win = _windows(spark, sf_dir)
+    duph = win.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    marked = win.join(duph, "h").select("doc_id", "s")
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    prev = F.lag("s").over(w_doc)
+    isl = marked.withColumn(
+        "new_isl",
+        F.when(prev.isNull() | (F.col("s") - prev > _W), 1).otherwise(0),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "isl_id").agg(
+        F.min("s").alias("a"), (F.max("s") + _W - 1).alias("b")
+    )
+    span_len = F.col("b") - F.col("a") + 1
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(span_len).alias("dup_tokens"),
+        F.max(span_len).alias("longest_span"),
+    )
+    return per_doc.join(tok.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id",
+        "n_dup_spans",
+        "dup_tokens",
+        "longest_span",
+        "n_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_frac"),
+    )
+
+
+_Q171_ORACLE = f"""
+WITH {_WIN_CTE},
+occ AS (
+  SELECT doc_id, s,
+         COUNT(*) OVER (PARTITION BY h) AS c,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+  FROM win
+),
+cut AS (SELECT doc_id, s FROM occ WHERE c > 1 AND rn > 1),
+cutpos AS (
+  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+  FROM cut, unnest(generate_series(s, s + {_W} - 1)) AS g(p)
+),
+allpos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok
+  FROM tok, unnest(generate_series(0, len(toks)-1)) AS t(i)
+),
+kept AS (
+  SELECT a.doc_id, a.pos, a.tok
+  FROM allpos a LEFT JOIN cutpos c ON a.doc_id = c.doc_id AND a.pos = c.pos
+  WHERE c.doc_id IS NULL
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(k.fp, md5('')) AS scrub_fp
+FROM tok t
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+  FROM kept GROUP BY doc_id
+) k ON t.doc_id = k.doc_id
+"""
+
+
+@query("q171_span_scrub", oracle=_Q171_ORACLE, tags=("text", "dedup", "EXT"))
+def q171_span_scrub(spark, sf_dir):
+    """Keep-first exact-substring scrub (what Lee et al. actually DO
+    with the spans q170 reports): for every duplicated window, the
+    globally first occurrence (min (doc_id, start)) survives; the
+    tokens covered by every other occurrence are deleted from the
+    training text. Output fingerprints the scrubbed text, proving the
+    rewrite itself matches the oracle, not just the counts.
+
+    The occurrence ranking is one ROW_NUMBER over the window hash; the
+    cut positions are an explode of at most W rows per cut window,
+    deduplicated per doc; the rebuild is a per-doc sort-free
+    array_sort(collect_list(struct(pos, tok))) — all partitioned by
+    doc_id, so per-task state is one document, never the corpus."""
+    tok, win = _windows(spark, sf_dir)
+    w_h = Window.partitionBy("h")
+    w_h_ord = w_h.orderBy("doc_id", "s")
+    occ = win.select(
+        "doc_id",
+        "s",
+        F.count(F.lit(1)).over(w_h).alias("c"),
+        F.row_number().over(w_h_ord).alias("rn"),
+    )
+    cut = occ.filter((F.col("c") > 1) & (F.col("rn") > 1)).select("doc_id", "s")
+    cutpos = cut.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + _W - 1)).alias("pos")
+    ).distinct()
+    allpos = tok.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = allpos.join(cutpos, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda st: st["tok"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("fp"),
+    )
+    empty_fp = F.md5(F.lit("").cast("binary"))
+    return tok.select("doc_id", "n_tokens").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("fp"), empty_fp).alias("scrub_fp"),
+    )

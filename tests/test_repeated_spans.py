@@ -1,0 +1,110 @@
+"""Exact-substring (repeated-span) dedup — q170/q171 semantics on a
+hand-built corpus where every expected span is known by construction.
+
+Window width is text5._W = 8 tokens, stride 1; a window duplicated
+anywhere in the corpus marks its positions; islands merge on start
+gaps <= W; q171 deletes every occurrence except the globally first
+(min (doc_id, start))."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from rds_glue_s3_etl_pipeline_spark.queries.text5 import (
+    _W,
+    q170_repeated_spans,
+    q171_span_scrub,
+)
+
+
+def _mk_docs(spark, tmp_path, rows):
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = str(tmp_path / "docs")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+# A 12-token passage shared verbatim between docs 1 and 2 (so every
+# stride-1 8-gram inside it is duplicated), embedded in otherwise
+# unique text. Doc 3 is unique; doc 4 is shorter than one window.
+_SHARED = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+_DOC1 = f"one two three {_SHARED} four five six"
+_DOC2 = f"seven eight {_SHARED} nine ten eleven twelve"
+_DOC3 = "totally unique words that appear nowhere else in this corpus at all honestly"
+_DOC4 = "tiny doc"
+
+
+@pytest.fixture(scope="module")
+def span_fixture(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("spans")
+    sf = _mk_docs(
+        spark,
+        tmp,
+        [(1, _DOC1), (2, _DOC2), (3, _DOC3), (4, _DOC4)],
+    )
+    return sf
+
+
+def test_q170_finds_exactly_the_planted_span(spark, span_fixture):
+    rows = {r["doc_id"]: r.asDict() for r in q170_repeated_spans(spark, span_fixture).collect()}
+    # Only the two docs sharing the passage report spans.
+    assert set(rows) == {1, 2}
+    for doc_id, prefix_len in ((1, 3), (2, 2)):
+        r = rows[doc_id]
+        assert r["n_dup_spans"] == 1
+        # The duplicated 8-gram windows start at prefix_len .. prefix_len+4
+        # (12-token shared run => 5 duplicated windows), covering
+        # positions prefix_len .. prefix_len+11 => 12 tokens.
+        assert r["dup_tokens"] == 12
+        assert r["longest_span"] == 12
+        assert r["dup_frac"] == pytest.approx(12 / r["n_tokens"])
+
+
+def test_q170_merges_adjacent_windows_into_one_island(spark, span_fixture):
+    # 5 overlapping duplicated windows must merge to ONE maximal span,
+    # not report 5 spans — that is the gaps-and-islands contract.
+    out = q170_repeated_spans(spark, span_fixture).collect()
+    assert all(r["n_dup_spans"] == 1 for r in out)
+
+
+def test_q171_keep_first_scrubs_second_occurrence_only(spark, span_fixture):
+    rows = {r["doc_id"]: r.asDict() for r in q171_span_scrub(spark, span_fixture).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # Doc 1 holds the first occurrence (doc_id order) — fully kept.
+    assert rows[1]["n_kept"] == rows[1]["n_tokens"]
+    exp1 = hashlib.md5(_DOC1.encode()).hexdigest()
+    assert rows[1]["scrub_fp"] == exp1
+    # Doc 2 loses exactly the 12 shared tokens.
+    assert rows[2]["n_kept"] == rows[2]["n_tokens"] - 12
+    exp2 = hashlib.md5(b"seven eight nine ten eleven twelve").hexdigest()
+    assert rows[2]["scrub_fp"] == exp2
+    # Unique and sub-window docs are untouched.
+    assert rows[3]["n_kept"] == rows[3]["n_tokens"]
+    assert rows[4]["n_kept"] == rows[4]["n_tokens"] == 2
+    assert rows[4]["scrub_fp"] == hashlib.md5(_DOC4.encode()).hexdigest()
+
+
+def test_q171_within_doc_repeat_is_cut(spark, tmp_path_factory):
+    # The same 8-gram twice INSIDE one doc: second occurrence cut.
+    tmp = tmp_path_factory.mktemp("spans_within")
+    eight = "a b c d e f g h"
+    text = f"{eight} x y z {eight} tail"
+    sf = _mk_docs(spark, tmp, [(1, text)])
+    r = q171_span_scrub(spark, sf).collect()[0]
+    assert r["n_tokens"] == 20
+    assert r["n_kept"] == 12  # 8 + 'x y z' + 'tail'
+    exp = hashlib.md5(f"{eight} x y z tail".encode()).hexdigest()
+    assert r["scrub_fp"] == exp
+
+
+def test_q170_empty_when_no_duplicates(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("spans_none")
+    sf = _mk_docs(
+        spark,
+        tmp,
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), (2, "v1 v2 v3 v4 v5 v6 v7 v8 v9")],
+    )
+    assert q170_repeated_spans(spark, sf).count() == 0
+    assert _W == 8  # tests above hard-code the width; fail loudly if it moves
