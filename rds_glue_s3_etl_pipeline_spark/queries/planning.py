@@ -57,15 +57,10 @@ FROM plan
 """
 
 
-@query("q172_mixture_plan", oracle=_Q172_ORACLE, tags=("pipeline", "EXT"))
-def q172_mixture_plan(spark, sf_dir):
-    """Per-language sampling plan against a fixed target mixture and a
-    half-corpus char budget: available chars, target chars
-    (budget x weight), sampling rate, epochs (ceil of rate — how many
-    passes the sampler makes when a slice is smaller than its target),
-    and the oversampling flag. One map-side-combinable groupBy plus a
-    broadcast of the single total row — the whole plan is a few rows
-    at any corpus size."""
+def _mixture_plan(spark, sf_dir):
+    """The q172 plan rows (lang, available_chars, weight, target_chars,
+    sampling_rate, n_epochs, oversampled) — shared with q176, which
+    EXECUTES the plan."""
     d = load(spark, sf_dir, "documents")
     avail = d.groupBy("lang").agg(
         F.sum("n_chars").cast("long").alias("available_chars")
@@ -89,6 +84,105 @@ def q172_mixture_plan(spark, sf_dir):
         rate.alias("sampling_rate"),
         F.ceil(rate).cast("long").alias("n_epochs"),
         (rate > 1.0).alias("oversampled"),
+    )
+
+
+@query("q172_mixture_plan", oracle=_Q172_ORACLE, tags=("pipeline", "EXT"))
+def q172_mixture_plan(spark, sf_dir):
+    """Per-language sampling plan against a fixed target mixture and a
+    half-corpus char budget: available chars, target chars
+    (budget x weight), sampling rate, epochs (ceil of rate — how many
+    passes the sampler makes when a slice is smaller than its target),
+    and the oversampling flag. One map-side-combinable groupBy plus a
+    broadcast of the single total row — the whole plan is a few rows
+    at any corpus size."""
+    return _mixture_plan(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q176: execute the mixture plan. Every doc is repeated floor(rate)
+# full epochs and enters the final partial epoch iff a deterministic
+# per-(doc, epoch) uniform draw lands under the fractional remainder —
+# a counter-based RNG shape (splittable, no state, reproducible from
+# doc_id alone), here a multiplicative hash mod a prime so the oracle
+# reproduces it exactly; swap in splitmix64 at production scale.
+# --------------------------------------------------------------------------
+
+_SAMPLE_MOD = 1_000_003  # prime
+_SAMPLE_A = 2_654_435_761  # Knuth multiplicative constant
+_SAMPLE_B = 40_503
+
+_Q176_ORACLE = f"""
+WITH avail AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS available_chars
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(available_chars) AS BIGINT) AS total_chars FROM avail),
+plan AS (
+  SELECT lang,
+         CAST(FLOOR((total_chars // 2) * ({_MIX_CASE})) AS BIGINT) AS target_chars,
+         target_chars / CAST(available_chars AS DOUBLE) AS sampling_rate
+  FROM avail, tot
+),
+draws AS (
+  SELECT d.doc_id, d.lang, d.n_chars, CAST(e AS BIGINT) AS epoch,
+         p.sampling_rate,
+         CAST(FLOOR(p.sampling_rate) AS BIGINT) AS full_epochs
+  FROM documents d
+  JOIN plan p USING (lang),
+  unnest(generate_series(0, CAST(CEIL(p.sampling_rate) AS BIGINT) - 1)) AS g(e)
+),
+sampled AS (
+  SELECT * FROM draws
+  WHERE epoch < full_epochs
+     OR (((doc_id % {_SAMPLE_MOD}) * {_SAMPLE_A} + epoch * {_SAMPLE_B}) % {_SAMPLE_MOD})
+        / CAST({_SAMPLE_MOD} AS DOUBLE) < sampling_rate - full_epochs
+)
+SELECT lang, epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM sampled
+GROUP BY lang, epoch
+"""
+
+
+@query("q176_mixture_execute", oracle=_Q176_ORACLE, tags=("pipeline", "EXT"))
+def q176_mixture_execute(spark, sf_dir):
+    """Materialize the q172 mixture: per (lang, epoch) the docs and
+    chars the sampler actually emits. The plan broadcasts (a few
+    rows); the epoch expansion is an explode bounded by n_epochs; the
+    partial-epoch membership test is pure integer arithmetic on
+    (doc_id, epoch) — no RNG state, any worker reproduces any row,
+    which is what makes deterministic resharding/repair possible at
+    100 TB."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # n_epochs == 0 (zero-weight language) emits nothing; filtering it
+    # here also keeps Spark's sequence() ascending (sequence(0, -1)
+    # would DESCEND and emit phantom epochs).
+    plan = (
+        _mixture_plan(spark, sf_dir)
+        .select("lang", "sampling_rate", "n_epochs")
+        .filter(F.col("n_epochs") >= 1)
+    )
+    draws = (
+        d.join(F.broadcast(plan), "lang")
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_epochs") - 1)),
+        )
+        .withColumn("full_epochs", F.floor("sampling_rate").cast("long"))
+    )
+    u = (
+        (F.col("doc_id") % _SAMPLE_MOD) * _SAMPLE_A
+        + F.col("epoch") * _SAMPLE_B
+    ) % _SAMPLE_MOD / F.lit(float(_SAMPLE_MOD))
+    sampled = draws.filter(
+        (F.col("epoch") < F.col("full_epochs"))
+        | (u < F.col("sampling_rate") - F.col("full_epochs"))
+    )
+    return sampled.groupBy("lang", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
     )
 
 

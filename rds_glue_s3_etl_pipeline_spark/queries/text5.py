@@ -242,3 +242,66 @@ def q171_span_scrub(spark, sf_dir):
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("fp"), empty_fp).alias("scrub_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# q175: span-level eval decontamination — the reverse direction of
+# q78 (which scores EVAL docs against the corpus): flag TRAINING docs
+# that share any exact W-token window with the held-out benchmark
+# slice, so they can be dropped before training. The fixture's 'src0'
+# source stands in for the benchmark set (the operator is a join shape
+# — any eval table plugs in).
+# --------------------------------------------------------------------------
+
+_EVAL_SOURCE = "src0"
+
+_Q175_ORACLE = f"""
+WITH {_WIN_CTE},
+src AS (SELECT doc_id, source FROM documents),
+winsrc AS (SELECT w.doc_id, w.s, w.h, src.source FROM win w JOIN src USING (doc_id)),
+eval_h AS (SELECT DISTINCT h FROM winsrc WHERE source = '{_EVAL_SOURCE}'),
+train AS (SELECT * FROM winsrc WHERE source <> '{_EVAL_SOURCE}'),
+hits AS (
+  SELECT t.doc_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_windows
+  FROM train t JOIN eval_h e USING (h)
+  GROUP BY t.doc_id
+),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM train GROUP BY doc_id
+)
+SELECT hits.doc_id, n_shared_windows, n_windows,
+       n_shared_windows / CAST(n_windows AS DOUBLE) AS contamination_frac
+FROM hits JOIN perdoc USING (doc_id)
+"""
+
+
+@query("q175_eval_decontaminate", oracle=_Q175_ORACLE, tags=("text", "dedup", "EXT"))
+def q175_eval_decontaminate(spark, sf_dir):
+    """Training docs sharing >= 1 exact W-token window with the eval
+    slice, with how much of each doc is contaminated (distinct shared
+    window hashes / distinct windows). The eval window set is DISTINCT
+    hashes — benchmark-sized, so the membership join broadcasts at any
+    training-corpus scale; everything else is the q170 window table."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    _, win = _windows(spark, sf_dir)
+    winsrc = win.join(d, "doc_id")
+    eval_h = (
+        winsrc.filter(F.col("source") == _EVAL_SOURCE).select("h").distinct()
+    )
+    train = winsrc.filter(F.col("source") != _EVAL_SOURCE)
+    hits = (
+        train.join(F.broadcast(eval_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_shared_windows"))
+    )
+    per_doc = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    return hits.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_shared_windows",
+        "n_windows",
+        (
+            F.col("n_shared_windows") / F.col("n_windows").cast("double")
+        ).alias("contamination_frac"),
+    )

@@ -110,3 +110,37 @@ def test_q174_bm25_ranks_term_rich_docs_first(spark, tmp_path):
     got = {r["doc_id"]: r["bm25"] for r in rows}
     for doc in (1, 2, 3, 4):
         assert got[doc] == pytest.approx(bm25(doc), abs=2e-8)
+
+
+def test_q176_executes_plan_deterministically(spark):
+    from rds_glue_s3_etl_pipeline_spark.queries.planning import (
+        q176_mixture_execute,
+    )
+
+    a = sorted(
+        (r["lang"], r["epoch"], r["n_docs"], r["chars"])
+        for r in q176_mixture_execute(spark, SF).collect()
+    )
+    b = sorted(
+        (r["lang"], r["epoch"], r["n_docs"], r["chars"])
+        for r in q176_mixture_execute(spark, SF).collect()
+    )
+    assert a == b  # counter-based draw: bit-identical across runs
+    plan = {r["lang"]: r.asDict() for r in q172_mixture_plan(spark, SF).collect()}
+    by_lang = {}
+    for lang, epoch, n_docs, chars in a:
+        by_lang.setdefault(lang, []).append((epoch, chars))
+        assert 0 <= epoch < plan[lang]["n_epochs"]
+    for lang, rows in by_lang.items():
+        got = sum(c for _, c in rows)
+        target = plan[lang]["target_chars"]
+        avail = plan[lang]["available_chars"]
+        full = int(plan[lang]["sampling_rate"])
+        # sampled mass lands within one partial-epoch's doc jitter of
+        # the target: full epochs are exact, the partial epoch is a
+        # Bernoulli subset, so allow +-40% of one epoch's chars.
+        assert abs(got - target) <= max(0.4 * avail, 1000)
+        # every FULL epoch carries the whole slice
+        for e, c in rows:
+            if e < full:
+                assert c == avail

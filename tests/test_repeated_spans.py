@@ -108,3 +108,31 @@ def test_q170_empty_when_no_duplicates(spark, tmp_path_factory):
     )
     assert q170_repeated_spans(spark, sf).count() == 0
     assert _W == 8  # tests above hard-code the width; fail loudly if it moves
+
+
+def test_q175_flags_only_contaminated_train_docs(spark, tmp_path_factory):
+    from rds_glue_s3_etl_pipeline_spark.queries.text5 import (
+        q175_eval_decontaminate,
+    )
+
+    tmp = tmp_path_factory.mktemp("decon")
+    eval_text = f"benchmark intro {_SHARED} benchmark outro"
+    train_hit = f"stolen passage {_SHARED} more words here"
+    train_clean = "completely original training text with no overlap at all ok"
+    d = spark.createDataFrame(
+        [
+            (1, eval_text, "src0"),
+            (2, train_hit, "src1"),
+            (3, train_clean, "src2"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = str(tmp / "docs")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    rows = {r["doc_id"]: r.asDict() for r in q175_eval_decontaminate(spark, out).collect()}
+    assert set(rows) == {2}
+    r = rows[2]
+    # the 12-token shared run yields 5 shared 8-gram hashes
+    assert r["n_shared_windows"] == 5
+    assert r["n_windows"] == 17 - _W + 1  # train_hit has 17 tokens
+    assert r["contamination_frac"] == pytest.approx(5 / 10)
