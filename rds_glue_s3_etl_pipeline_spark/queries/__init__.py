@@ -19,6 +19,7 @@ from . import etl2  # noqa: F401
 from . import events  # noqa: F401
 from . import events2  # noqa: F401
 from . import events3  # noqa: F401
+from . import events4  # noqa: F401
 from . import text  # noqa: F401
 from . import text2  # noqa: F401
 from . import text3  # noqa: F401
