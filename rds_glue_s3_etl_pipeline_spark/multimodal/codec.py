@@ -327,3 +327,60 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, WAV_FEATURE_SCHEMA)
+
+
+# Energy-based activity segmentation (the VAD shape): fixed frames,
+# integer activity test (sum |amplitude| >= threshold x frame length —
+# no sqrt, no float compare), consecutive active frames merge into
+# segments. All arithmetic is exact integers until the final report.
+VAD_FRAME = 16  # samples per frame
+VAD_TH = 40 * 256  # per-sample mean |amplitude| threshold
+
+VAD_SCHEMA = (
+    "doc_id long, n_frames long, n_active long, n_segments long, "
+    "longest_segment long"
+)
+
+
+def segment_wav_activity(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads (REAL chunk walk) and segment each clip into
+    active-energy runs: a frame of VAD_FRAME samples is active iff
+    sum(|s|) >= VAD_TH * n_samples_in_frame; consecutive active frames
+    form one segment. Per-clip state is one clip's frame list — tiny —
+    so the Arrow batch never grows with corpus size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = decode_wav16(bytes(payload))["samples"]
+                frames = [
+                    s[i : i + VAD_FRAME] for i in range(0, len(s), VAD_FRAME)
+                ]
+                active = [
+                    sum(abs(v) for v in fr) >= VAD_TH * len(fr) for fr in frames
+                ]
+                n_segments = longest = cur = 0
+                for a in active:
+                    if a:
+                        cur += 1
+                        if cur == 1:
+                            n_segments += 1
+                        longest = max(longest, cur)
+                    else:
+                        cur = 0
+                rows.append(
+                    (doc_id, len(frames), sum(active), n_segments, longest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_active",
+                    "n_segments",
+                    "longest_segment",
+                ],
+            )
+
+    return media.mapInPandas(run, VAD_SCHEMA)

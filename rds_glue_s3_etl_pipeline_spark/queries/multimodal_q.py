@@ -135,3 +135,74 @@ def q129_wav_decode(spark, sf_dir):
 
     media = attach_wav_payload(load(spark, sf_dir, "documents"))
     return decode_wav_features(media)
+
+
+# --------------------------------------------------------------------------
+# q179: energy-based activity segmentation over the real WAV decode
+# path (the VAD / silence-trimming shape of an audio training
+# pipeline). The oracle recomputes every frame from the source bytes:
+# frame f covers chars [f*16+1, f*16+16], activity is the exact
+# integer test sum(|sample|) >= TH * frame_len, and segments are
+# gaps-and-islands over active frame indexes.
+# --------------------------------------------------------------------------
+
+_Q179_ORACLE = """
+WITH samp AS (
+  SELECT d.doc_id,
+         CAST((u.i - 1) // 16 AS BIGINT) AS frame,
+         ABS((ascii(substring(d.text, u.i, 1)) - 128) * 256) AS amp
+  FROM documents d, UNNEST(generate_series(1, length(d.text))) AS u(i)
+),
+fr AS (
+  SELECT doc_id, frame, SUM(amp) AS sum_amp, COUNT(*) AS n
+  FROM samp GROUP BY doc_id, frame
+),
+af AS (
+  SELECT doc_id, frame,
+         CASE WHEN sum_amp >= 10240 * n THEN 1 ELSE 0 END AS active
+  FROM fr
+),
+act AS (
+  SELECT doc_id, frame,
+         CASE WHEN lag(frame) OVER (PARTITION BY doc_id ORDER BY frame) IS NULL
+                OR frame - lag(frame) OVER (PARTITION BY doc_id ORDER BY frame) > 1
+              THEN 1 ELSE 0 END AS new_seg
+  FROM af WHERE active = 1
+),
+seg AS (
+  SELECT doc_id, frame,
+         SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY frame
+                            ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM act
+),
+seglen AS (
+  SELECT doc_id, seg_id, COUNT(*) AS len FROM seg GROUP BY doc_id, seg_id
+),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(len) AS BIGINT) AS n_active,
+         CAST(MAX(len) AS BIGINT) AS longest_segment
+  FROM seglen GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM fr GROUP BY doc_id)
+SELECT t.doc_id, t.n_frames,
+       COALESCE(p.n_active, 0) AS n_active,
+       COALESCE(p.n_segments, 0) AS n_segments,
+       COALESCE(p.longest_segment, 0) AS longest_segment
+FROM tot t LEFT JOIN per p ON t.doc_id = p.doc_id
+"""
+
+
+@query("q179_wav_activity_segments", oracle=_Q179_ORACLE, tags=("multimodal", "EXT"))
+def q179_wav_activity_segments(spark, sf_dir):
+    """Activity (VAD-style) segmentation through the REAL audio path:
+    encode 16-bit PCM WAV per doc, walk the RIFF chunks back, frame at
+    16 samples, integer energy test, island-merge active runs. The
+    whole decode+segment pass is one Arrow-batched mapInPandas with
+    per-clip state only; the oracle independently reconstructs every
+    frame from the source bytes."""
+    from ..multimodal.codec import attach_wav_payload, segment_wav_activity
+
+    media = attach_wav_payload(load(spark, sf_dir, "documents"))
+    return segment_wav_activity(media)

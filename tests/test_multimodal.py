@@ -196,3 +196,22 @@ def test_binaryfile_ingest_to_decode(spark, tmp_path):
         px = bytes([(i * 40 + j) % 256 for j in range(4 * 4 * 3)])
         assert feats[i]["mean_px"] == pytest.approx(sum(px) / len(px))
         assert feats[i]["max_px"] == max(px)
+
+
+def test_q179_vad_segments_known_clip(spark, tmp_path):
+    # 'a' bytes are quiet (|97-128|*256 = 7936 < 10240); spaces are
+    # loud (24576). "aaaa... <16 spaces> ...aaaa" gives one active
+    # frame island in the middle.
+    from rds_glue_s3_etl_pipeline_spark.queries.multimodal_q import (
+        q179_wav_activity_segments,
+    )
+
+    text = "a" * 32 + " " * 32 + "a" * 32
+    d = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = str(tmp_path / "vad")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    r = q179_wav_activity_segments(spark, out).collect()[0]
+    assert r["n_frames"] == 6  # 96 samples / 16
+    assert r["n_active"] == 2  # the two all-space frames
+    assert r["n_segments"] == 1  # consecutive -> one island
+    assert r["longest_segment"] == 2
