@@ -127,8 +127,20 @@ def q170_repeated_spans(spark, sf_dir):
     coverage, longest span, and coverage fraction — the report a
     corpus team reads before deciding the scrub threshold."""
     tok, win = _windows(spark, sf_dir)
-    duph = win.groupBy("h").count().filter(F.col("count") > 1).select("h")
-    marked = win.join(duph, "h").select("doc_id", "s")
+    # Dup detection is a COUNT WINDOW over h — one shuffle, one pass
+    # over the window table. The groupBy(h)->join-back alternative
+    # recomputes and reshuffles the window table for each side (2.36M
+    # windows x 2 passes measured 78s vs 4s for this shape at the 10x
+    # probe). Cost: a corpus-wide boilerplate hash is one window
+    # partition (no AQE skew split) — max multiplicity on the probe
+    # fixture is 4; hot-hash corpora take the df-cap escape hatch
+    # documented in the module header.
+    w_h = Window.partitionBy("h")
+    marked = (
+        win.withColumn("c", F.count(F.lit(1)).over(w_h))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "s")
+    )
     w_doc = Window.partitionBy("doc_id").orderBy("s")
     prev = F.lag("s").over(w_doc)
     isl = marked.withColumn(
