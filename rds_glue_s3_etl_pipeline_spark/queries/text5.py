@@ -317,3 +317,89 @@ def q175_eval_decontaminate(spark, sf_dir):
             F.col("n_shared_windows") / F.col("n_windows").cast("double")
         ).alias("contamination_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# q180: template families — documents connected by SHARED EXACT SPANS
+# (>= _MIN_SHARED distinct W-token windows) clustered into connected
+# components. This is how boilerplate/mirror families surface in a
+# crawl: MinHash families (q60/q108) need global document similarity,
+# while a shared template header links docs whose bodies are disjoint.
+# --------------------------------------------------------------------------
+
+_MIN_SHARED = 3  # distinct shared windows to draw an edge
+_MAX_DF = 64  # doc-frequency cap: hotter windows are boilerplate noise
+
+_Q180_ORACLE = f"""
+WITH RECURSIVE {_WIN_CTE},
+occ AS (SELECT DISTINCT h, doc_id FROM win),
+hh AS (
+  SELECT h FROM occ GROUP BY h
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_MAX_DF}
+),
+p0 AS (
+  SELECT o1.doc_id AS a, o2.doc_id AS b
+  FROM occ o1 JOIN occ o2 USING (h) JOIN hh USING (h)
+  WHERE o1.doc_id < o2.doc_id
+),
+edges AS (
+  SELECT a, b FROM (SELECT a, b, COUNT(*) AS c FROM p0 GROUP BY a, b)
+  WHERE c >= {_MIN_SHARED}
+),
+sym AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+lab AS (
+  SELECT a AS doc_id, LEAST(MIN(b), a) AS family_id FROM reach GROUP BY a
+)
+SELECT doc_id, family_id,
+       CAST(COUNT(*) OVER (PARTITION BY family_id) AS BIGINT) AS family_size
+FROM lab
+"""
+
+
+@query("q180_template_families", oracle=_Q180_ORACLE, tags=("text", "dedup", "graph", "EXT"))
+def q180_template_families(spark, sf_dir):
+    """Shared-span document graph → families: distinct (window, doc)
+    occurrences grouped per hash (df-capped — a window hotter than
+    _MAX_DF docs is boilerplate, not family signal, and its pair
+    fan-out is C(df,2)), in-array pair expansion (no self-join — the
+    window table is computed ONCE), edges at >= _MIN_SHARED shared
+    windows, then star-contraction components (round count O(log^2 n),
+    diameter-free). Family size rides a count window on the label."""
+    from ..operators.graph import connected_components_star
+
+    _, win = _windows(spark, sf_dir)
+    occ = win.select("h", "doc_id").distinct()
+    grouped = (
+        occ.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _MAX_DF))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)), y ->"
+                " struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _MIN_SHARED)
+        .select("a", "b")
+    )
+    lab = connected_components_star(edges, src="a", dst="b").select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").alias("family_id")
+    )
+    w_fam = Window.partitionBy("family_id")
+    return lab.withColumn(
+        "family_size", F.count(F.lit(1)).over(w_fam).cast("long")
+    )

@@ -136,3 +136,29 @@ def test_q175_flags_only_contaminated_train_docs(spark, tmp_path_factory):
     assert r["n_shared_windows"] == 5
     assert r["n_windows"] == 17 - _W + 1  # train_hit has 17 tokens
     assert r["contamination_frac"] == pytest.approx(5 / 10)
+
+
+def test_q180_families_link_through_shared_spans(spark, tmp_path_factory):
+    from rds_glue_s3_etl_pipeline_spark.queries.text5 import (
+        q180_template_families,
+    )
+
+    tmp = tmp_path_factory.mktemp("fam")
+    # Docs 1-2 share _SHARED (12 tokens -> 5 shared windows >= 3);
+    # docs 2-3 share a second 12-token run; 1-3 share nothing directly
+    # but must land in ONE family transitively. Doc 4 is isolated.
+    other = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11 n12"
+    sf = _mk_docs(
+        spark,
+        tmp,
+        [
+            (1, f"one two {_SHARED} three"),
+            (2, f"{_SHARED} mid words {other}"),
+            (3, f"{other} tail tokens here"),
+            (4, "iso a b c d e f g h i j"),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in q180_template_families(spark, sf).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["family_id"] == rows[2]["family_id"] == rows[3]["family_id"] == 1
+    assert all(r["family_size"] == 3 for r in rows.values())
