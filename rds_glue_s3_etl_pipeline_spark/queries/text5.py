@@ -403,3 +403,81 @@ def q180_template_families(spark, sf_dir):
     return lab.withColumn(
         "family_size", F.count(F.lit(1)).over(w_fam).cast("long")
     )
+
+
+# --------------------------------------------------------------------------
+# q181: agreement gate between the two dedup signals — exact-span
+# coverage (q170, dup_frac >= 0.8) vs MinHash keep-best clustering
+# (q124 non-survivors). The honest-measurement pattern of the recall
+# gates (q145/q155/q158): when two independent operators claim "this
+# doc is a duplicate", report where they agree and where only one
+# fires, as numbers, not prose.
+# --------------------------------------------------------------------------
+
+_SPAN_DUP_FRAC = 0.8
+
+
+def _q181_oracle() -> str:
+    from .events3 import _Q124_ORACLE
+
+    return f"""
+WITH span AS (
+  SELECT doc_id FROM ({_Q170_ORACLE}) WHERE dup_frac >= {_SPAN_DUP_FRAC}
+),
+kept AS (SELECT kept_doc_id FROM ({_Q124_ORACLE})),
+dropped AS (
+  SELECT d.doc_id FROM documents d
+  LEFT JOIN kept k ON d.doc_id = k.kept_doc_id
+  WHERE k.kept_doc_id IS NULL
+),
+m AS (
+  SELECT (SELECT COUNT(*) FROM span) AS a,
+         (SELECT COUNT(*) FROM dropped) AS b,
+         (SELECT COUNT(*) FROM span JOIN dropped USING (doc_id)) AS c
+)
+SELECT CAST(a AS BIGINT) AS n_span_flagged,
+       CAST(b AS BIGINT) AS n_minhash_dropped,
+       CAST(c AS BIGINT) AS n_both,
+       CAST(a - c AS BIGINT) AS n_span_only,
+       CAST(b - c AS BIGINT) AS n_minhash_only,
+       c / CAST(a + b - c AS DOUBLE) AS jaccard
+FROM m
+"""
+
+
+@query("q181_dedup_agreement", oracle=_q181_oracle(), tags=("dedup", "gate", "EXT"))
+def q181_dedup_agreement(spark, sf_dir):
+    """One-row agreement report: docs the span detector calls
+    mostly-duplicate (coverage >= 0.8) vs docs the MinHash keep-best
+    pass drops, their overlap, and the Jaccard of the two duplicate
+    sets. Three count aggregates cross-joined — nothing collects; both
+    inputs are the already-verified operators, composed."""
+    from .events3 import q124_dedup_keep_best
+
+    span = (
+        q170_repeated_spans(spark, sf_dir)
+        .filter(F.col("dup_frac") >= _SPAN_DUP_FRAC)
+        .select("doc_id")
+    )
+    kept = q124_dedup_keep_best(spark, sf_dir).select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dropped = docs.join(kept, "doc_id", "left_anti")
+    a = span.agg(F.count(F.lit(1)).alias("a"))
+    b = dropped.agg(F.count(F.lit(1)).alias("b"))
+    c = span.join(dropped, "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            F.col("a").alias("n_span_flagged"),
+            F.col("b").alias("n_minhash_dropped"),
+            F.col("c").alias("n_both"),
+            (F.col("a") - F.col("c")).alias("n_span_only"),
+            (F.col("b") - F.col("c")).alias("n_minhash_only"),
+            (
+                F.col("c") / (F.col("a") + F.col("b") - F.col("c")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
