@@ -369,3 +369,101 @@ def q174_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q182: split-leakage report. A deterministic hash split (q138's
+# md5-prefix fences) keeps the SAME document on the same side forever
+# — but near-duplicates of a training item can still land in val/test
+# and inflate eval scores. This gate counts, per eval split, the
+# vectors with at least one near-dup neighbor (q34's verified pair
+# set) on the TRAIN side.
+# --------------------------------------------------------------------------
+
+_LEAK_TRAIN_HI = "e6"  # same fences as q138
+_LEAK_VAL_HI = "f3"
+
+
+def _q182_oracle() -> str:
+    from .vector import _Q34_ORACLE
+
+    split = f"""CASE WHEN SUBSTRING(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '{_LEAK_TRAIN_HI}' THEN 'train'
+            WHEN SUBSTRING(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '{_LEAK_VAL_HI}' THEN 'val'
+            ELSE 'test' END"""
+    return f"""
+WITH sp AS (
+  SELECT vec_id, ({split}) AS split FROM embeddings
+),
+pairs AS (SELECT vec_a, vec_b FROM ({_Q34_ORACLE})),
+sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+leak AS (
+  SELECT DISTINCT s1.vec_id
+  FROM sym p
+  JOIN sp s1 ON p.a = s1.vec_id
+  JOIN sp s2 ON p.b = s2.vec_id
+  WHERE s1.split <> 'train' AND s2.split = 'train'
+)
+SELECT sp.split,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN leak.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+       SUM(CASE WHEN leak.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS leak_rate
+FROM sp LEFT JOIN leak ON sp.vec_id = leak.vec_id
+WHERE sp.split <> 'train'
+GROUP BY sp.split
+"""
+
+
+@query("q182_split_leakage", oracle=_q182_oracle(), tags=("vector", "gate", "EXT"))
+def q182_split_leakage(spark, sf_dir):
+    """Per eval split: how many vectors have a near-duplicate (q34's
+    label-blocked cosine pairs) on the train side of the q138 hash
+    split, and the leak rate. The pair set is the already-verified
+    operator; the split is a map-only projection; the report is two
+    hash joins and one aggregate — dedup-before-split is the fix this
+    number argues for."""
+    from .vector import q34_cosine_near_dup
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    bucket = F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 2)
+    sp = e.withColumn(
+        "split",
+        F.when(bucket < _LEAK_TRAIN_HI, "train")
+        .when(bucket < _LEAK_VAL_HI, "val")
+        .otherwise("test"),
+    )
+    pairs = q34_cosine_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    sym = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    leak = (
+        sym.join(
+            sp.select(F.col("vec_id").alias("vec_a"), F.col("split").alias("sa")),
+            "vec_a",
+        )
+        .join(
+            sp.select(F.col("vec_id").alias("vec_b"), F.col("split").alias("sb")),
+            "vec_b",
+        )
+        .filter((F.col("sa") != "train") & (F.col("sb") == "train"))
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+        .withColumn("leaked", F.lit(1))
+    )
+    return (
+        sp.filter(F.col("split") != "train")
+        .join(leak, "vec_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce("leaked", F.lit(0))).cast("long").alias("n_leaked"),
+            (
+                F.sum(F.coalesce("leaked", F.lit(0)))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("leak_rate"),
+        )
+    )
