@@ -144,3 +144,32 @@ def test_q176_executes_plan_deterministically(spark):
         for e, c in rows:
             if e < full:
                 assert c == avail
+
+
+def test_q182_flags_eval_vectors_with_train_neighbors(spark, tmp_path):
+    from rds_glue_s3_etl_pipeline_spark.queries.planning import (
+        q182_split_leakage,
+    )
+
+    # md5-prefix split fences put 0,1,2 in train; 3 in val; 44 in test
+    # (verified against q138's fences). Same label = candidate block.
+    # Vec 3 is nearly vec 0 (leak); vec 44 is orthogonal to everything.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [0.0, 1.0, 0.0, 0.0], 1),
+        (2, [0.0, 0.0, 1.0, 0.0], 1),
+        (3, [0.99, 0.1, 0.0, 0.0], 1),   # val, near vec 0  -> leaked
+        (44, [0.0, 0.0, 0.0, 1.0], 1),   # test, orthogonal -> clean
+        (64, [0.0, 0.0, -1.0, 0.0], 1),  # val, anti-parallel -> clean
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = str(tmp_path / "emb")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    got = {r["split"]: r.asDict() for r in q182_split_leakage(spark, out).collect()}
+    assert got["val"]["n_vectors"] == 2
+    assert got["val"]["n_leaked"] == 1
+    assert got["val"]["leak_rate"] == 0.5
+    assert got["test"]["n_vectors"] == 1
+    assert got["test"]["n_leaked"] == 0

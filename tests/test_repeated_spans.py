@@ -162,3 +162,35 @@ def test_q180_families_link_through_shared_spans(spark, tmp_path_factory):
     assert set(rows) == {1, 2, 3}
     assert rows[1]["family_id"] == rows[2]["family_id"] == rows[3]["family_id"] == 1
     assert all(r["family_size"] == 3 for r in rows.values())
+
+
+def test_q181_agreement_counts_on_clone_pair(spark, tmp_path_factory):
+    from rds_glue_s3_etl_pipeline_spark.queries.text5 import (
+        q181_dedup_agreement,
+    )
+
+    tmp = tmp_path_factory.mktemp("agree")
+    clone = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    # Two identical docs (span coverage 1.0 on both; MinHash drops one)
+    # plus an unrelated doc neither signal touches. n_chars must
+    # exist: q124 ranks survivors by it.
+    d = spark.createDataFrame(
+        [
+            (1, clone, len(clone)),
+            (2, clone, len(clone)),
+            (3, "completely different words that never repeat anywhere at all", 60),
+        ],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    out = str(tmp / "docs")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    r = q181_dedup_agreement(spark, out).collect()[0]
+    assert r["n_span_flagged"] == 2  # both clones fully covered
+    assert r["n_minhash_dropped"] == 1  # keep-best retains one
+    assert r["n_both"] == 1
+    assert r["n_span_only"] == 1
+    assert r["n_minhash_only"] == 0
+    assert r["jaccard"] == 0.5
