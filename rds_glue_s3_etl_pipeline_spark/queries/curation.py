@@ -1,0 +1,348 @@
+"""Corpus curation batch 2 — the selection/weighting decisions made
+between "stats computed" and "shards written":
+
+* q183: cluster-balanced resampling — cap every semantic cluster's
+  contribution so over-represented modes can't dominate the training
+  mix (the diversity-preserving counterpart of SemDeDup: q143 drops
+  near-identical POINTS, this caps near-identical TOPICS).
+* q184: hybrid retrieval — reciprocal-rank fusion (RRF, Cormack et
+  al.'s classic formula) of the BM25 lexical ranking (q174) and the
+  dense cosine ranking (q24's scorer), the standard first stage of a
+  RAG / data-curation retrieval stack.
+* q185: temperature-scaled domain mixture (share^alpha reweighting, the
+  GPT-3/multilingual-C4 recipe) — flattens the domain distribution so
+  small domains are upsampled without hand-tuned weights.
+* q186: per-document n-gram novelty — the fraction of a document's
+  distinct shingles that appear nowhere else in the corpus; low
+  novelty flags boilerplate/templates, high novelty flags unique text
+  worth keeping (the document-level view of q170's repeated spans).
+
+Reference parity: none of these exist in the reference pipeline
+(gule_test_job.py) — EXT operators from the LLM-pipeline north star
+(SURVEY.md §2.11).
+
+Scale notes per query live in the docstrings; the common theme is that
+every ranking is TakeOrderedAndProject or a bounded-partition window,
+every corpus-wide statistic is one hash aggregate broadcast back, and
+nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as X
+from ..functions import vector as V
+from .registry import query
+from .text import _SHINGLE_N
+from .vector3 import _KM_ITERS, _KM_K, _init_centroids, _km_ctes
+
+# --------------------------------------------------------------------------
+# q183: cluster-balanced resampling. Assign every vector to its
+# trained k-means cell (q142's codebook), then keep at most _CB_CAP
+# members per cell, chosen by deterministic md5 rank (seedless
+# "random" — the same discipline as _init_centroids). The kept set is
+# the balanced corpus; cell_n preserves the original density so the
+# sampler can log what it flattened.
+# --------------------------------------------------------------------------
+
+_CB_CAP = 24
+
+_Q183_ORACLE = f"""
+WITH {_km_ctes(_KM_K, _KM_ITERS)},
+fin AS (SELECT vec_id, c_id FROM assign{_KM_ITERS}),
+sized AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS cell_n FROM fin GROUP BY c_id),
+ranked AS (
+  SELECT vec_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY c_id
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM fin
+)
+SELECT r.c_id, r.vec_id, s.cell_n, CAST(r.rn AS BIGINT) AS keep_rank
+FROM ranked r JOIN sized s USING (c_id)
+WHERE r.rn <= {_CB_CAP}
+"""
+
+
+@query("q183_cluster_balanced_sample", oracle=_Q183_ORACLE, tags=("vector", "curation", "EXT"))
+def q183_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced resampling (DCLM/DoReMi-adjacent diversity
+    control): train the q142 spherical-k-means codebook, assign every
+    vector, keep <= _CB_CAP members per cell by md5(vec_id) rank.
+
+    Scale shape: codebook training is the q142 broadcast-Lloyd loop
+    (corpus never shuffles); the cap is one row_number window
+    PARTITIONED BY CELL, so no global sort — and with the adaptive
+    grid (operators.similarity.adaptive_grid) cell count grows with
+    the corpus, holding per-partition window size ~constant at any
+    scale. The md5 rank makes the sample deterministic with no RNG
+    state to coordinate across executors."""
+    from ..operators.similarity import spherical_kmeans
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fin = spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS).select(
+        "vec_id", "c_id"
+    )
+    sized = fin.groupBy("c_id").agg(F.count(F.lit(1)).alias("cell_n"))
+    w = Window.partitionBy("c_id").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+    )
+    return (
+        fin.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CB_CAP)
+        .join(F.broadcast(sized), "c_id")
+        .select(
+            "c_id",
+            "vec_id",
+            "cell_n",
+            F.col("rn").cast("long").alias("keep_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q184: hybrid retrieval via reciprocal-rank fusion. The lexical arm
+# is q174's BM25 top-15; the dense arm is the q24 cosine scorer for
+# query vector 0 (query-by-document). RRF needs only the two rank
+# lists — no score normalization — which is exactly why it's the
+# default fusion everywhere: rrf(d) = sum over arms of 1/(C + rank).
+# --------------------------------------------------------------------------
+
+_RRF_C = 60  # the canonical constant from the RRF paper
+_RRF_POOL = 15  # candidates taken from each arm (= q174's top-k)
+_RRF_TOPK = 10
+_RRF_QVEC = 0  # query-by-document: doc 0's embedding is the dense query
+
+
+def _q184_oracle() -> str:
+    from .planning import _q174_oracle
+
+    return f"""
+WITH bm AS ({_q174_oracle()}),
+bmr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT b.vec_id, ROUND(list_cosine_similarity(q.v, b.v), 4) AS cs
+  FROM e b, (SELECT v FROM e WHERE vec_id = {_RRF_QVEC}) q
+),
+cosr AS (
+  SELECT vec_id, r FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS r FROM scored
+  ) WHERE r <= {_RRF_POOL}
+)
+SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id,
+       b.r AS bm25_rank, c.r AS cos_rank,
+       COALESCE(1.0 / ({_RRF_C} + b.r), 0) + COALESCE(1.0 / ({_RRF_C} + c.r), 0)
+         AS rrf_score
+FROM bmr b FULL OUTER JOIN cosr c ON b.doc_id = c.vec_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_TOPK}
+"""
+
+
+@query("q184_hybrid_retrieval_rrf", oracle=_q184_oracle(), tags=("retrieval", "vector", "text", "EXT"))
+def q184_hybrid_retrieval_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of lexical (BM25, q174) and dense
+    (cosine, q24's scorer) retrieval: each arm contributes
+    1/(C + rank) for its top-_RRF_POOL candidates, full-outer-joined
+    on doc id (doc_id and vec_id share the fixture's id space — the
+    embedding OF the document).
+
+    Scale shape: each arm ends in TakeOrderedAndProject (orderBy +
+    limit — no global sort materializes), so the rank windows and the
+    fusion join run over two _RRF_POOL-row frames; per-query fan-out
+    at serving scale is the same plan with the arms grouped by query
+    id. RRF sums are exact given integer ranks, so no rounding is
+    needed beyond the arms' own score stabilization."""
+    from .planning import q174_bm25_topk
+
+    # Lexical arm: q174's top-15, re-ranked locally (15 rows).
+    bm = q174_bm25_topk(spark, sf_dir)
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("long")
+        .alias("r"),
+    )
+    # Dense arm: cosine of every vector against query vector 0, top-15
+    # by TakeOrderedAndProject, then a 15-row local rank window.
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = e.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = e.crossJoin(F.broadcast(qv)).select(
+        "vec_id", F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cs")
+    )
+    top = scored.orderBy(F.desc("cs"), "vec_id").limit(_RRF_POOL)
+    cosr = top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cs"), "vec_id"))
+        .cast("long")
+        .alias("r"),
+    )
+    b, c = bmr.alias("b"), cosr.alias("c")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("b.r")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("c.r")), F.lit(0.0))
+    return (
+        b.join(c, F.col("b.doc_id") == F.col("c.vec_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.doc_id"), F.col("c.vec_id")).alias("doc_id"),
+            F.col("b.r").alias("bm25_rank"),
+            F.col("c.r").alias("cos_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(_RRF_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q185: temperature-scaled domain mixture. Raw domain shares p_g are
+# flattened to p_g^alpha / sum(p_g^alpha) (alpha < 1 upsamples small
+# domains) — the GPT-3 / multilingual-sampling recipe, computed over
+# (lang, source) cells. The powered weights are decimal-stabilized to
+# 8dp before normalization so a 1-ulp pow() difference between engines
+# can't move the output (the q174 ln() discipline), and the normalizer
+# is an exact decimal sum so its value is order-independent.
+# --------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.7
+
+_Q185_ORACLE = f"""
+WITH cell AS (
+  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS total_chars FROM cell),
+pw AS (
+  SELECT lang, source, chars,
+         chars / CAST(total_chars AS DOUBLE) AS share,
+         CAST(CAST(POWER(chars / CAST(total_chars AS DOUBLE), {_TEMP_ALPHA})
+              AS DECIMAL(18,8)) AS DOUBLE) AS pwt
+  FROM cell, tot
+),
+z AS (
+  SELECT CAST(CAST(SUM(CAST(pwt AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS zsum
+  FROM pw
+)
+SELECT lang, source, chars, share,
+       pwt / zsum AS weight,
+       (pwt / zsum) / share AS boost
+FROM pw, z
+"""
+
+
+@query("q185_domain_temperature_mix", oracle=_Q185_ORACLE, tags=("curation", "agg", "EXT"))
+def q185_domain_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture weights per (lang, source) domain:
+    weight_g = share_g^alpha / Z with alpha=0.7. boost = weight/share
+    is the up/down-sampling factor the shard sampler applies.
+
+    Scale shape: one hash aggregate over documents (partial-agg
+    shuffle bounded by #domains), two scalar broadcasts (total chars,
+    normalizer Z). The domain table is tiny at any corpus size, so
+    everything after the first aggregate is driver-free broadcast
+    math."""
+    d = load(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("long").alias("chars")
+    )
+    tot = cell.agg(F.sum("chars").cast("long").alias("total_chars"))
+    share = F.col("chars") / F.col("total_chars").cast("double")
+    pw = cell.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "chars",
+        share.alias("share"),
+        F.pow(share, F.lit(_TEMP_ALPHA))
+        .cast("decimal(18,8)")
+        .cast("double")
+        .alias("pwt"),
+    )
+    z = pw.agg(
+        F.sum(F.col("pwt").cast("decimal(24,8)"))
+        .cast("string")
+        .cast("double")
+        .alias("zsum")
+    )
+    w = F.col("pwt") / F.col("zsum")
+    return pw.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "source",
+        "chars",
+        "share",
+        w.alias("weight"),
+        (w / F.col("share")).alias("boost"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q186: n-gram novelty per document — the share of a document's
+# distinct 5-word shingles with corpus document-frequency 1. The
+# document-level aggregate of the q23/q170 shingle machinery: low
+# novelty = template/boilerplate, high = unique content.
+# --------------------------------------------------------------------------
+
+_Q186_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS sh
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, GREATEST(array_length(t) - {_SHINGLE_N - 1}, 0))) AS i
+          FROM toks)
+  )
+),
+dfreq AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+         AS novelty
+FROM shingles s JOIN dfreq d USING (sh)
+GROUP BY s.doc_id
+"""
+
+
+@query("q186_ngram_novelty", oracle=_Q186_ORACLE, tags=("text", "curation", "EXT"))
+def q186_ngram_novelty(spark, sf_dir):
+    """Per-document novelty rate: distinct 5-word shingles, corpus df
+    per shingle, novelty = fraction with df == 1 (the Lee et al.
+    memorization-risk signal at document granularity).
+
+    Scale shape: shingles join on the 64-bit xxhash64 (cheap shuffle,
+    q23's discipline), df is one partial-aggregated groupBy whose
+    output is ~the distinct-shingle count, and the join back is
+    hash-to-hash. No df cap here (unlike q23's pair join) because the
+    per-doc aggregate is LINEAR in shingle rows — hot shingles add
+    rows, not row-pairs; AQE skew handling covers a pathological
+    shingle."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        X.exploded_word_shingles(d, "text", "doc_id", _SHINGLE_N)
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    novel = (F.col("df") == 1).cast("long")
+    return (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel) / F.count(F.lit(1)).cast("double")).alias("novelty"),
+        )
+    )
