@@ -384,3 +384,47 @@ def segment_wav_activity(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, VAD_SCHEMA)
+
+
+# Perceptual average-hash (aHash) over the decoded 8x8 image: per-pixel
+# gray = B+G+R (integer sum, no division), bit = gray strictly above the
+# image mean (gray*64 > total — exact integer compare), packed into four
+# 16-bit bands so a banded Hamming join needs no 64-bit unsigned type on
+# any engine.
+AHASH_BANDS = 4
+AHASH_BAND_BITS = 16
+AHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int, ones int"
+
+
+def ahash_bmp(media: DataFrame) -> DataFrame:
+    """Decode BMP payloads (REAL header parse + bottom-up row walk) and
+    reduce each image to its 64-bit average-hash, split into 4x16-bit
+    bands (b0 = pixels 0-15, row-major top-down). All arithmetic is
+    exact integers, so an external engine reproduces the fingerprint
+    bit-for-bit from the source bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp24(bytes(payload))
+                px = img["pixels"]
+                grays = [
+                    px[3 * i] + px[3 * i + 1] + px[3 * i + 2]
+                    for i in range(len(px) // 3)
+                ]
+                total = sum(grays)
+                bits = [1 if g * len(grays) > total else 0 for g in grays]
+                bands = [
+                    sum(
+                        bits[j] << (j - i * AHASH_BAND_BITS)
+                        for j in range(i * AHASH_BAND_BITS, (i + 1) * AHASH_BAND_BITS)
+                    )
+                    for i in range(AHASH_BANDS)
+                ]
+                rows.append((doc_id, *bands, sum(bits)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3", "ones"]
+            )
+
+    return media.mapInPandas(run, AHASH_SCHEMA)

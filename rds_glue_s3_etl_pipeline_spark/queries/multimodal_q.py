@@ -206,3 +206,157 @@ def q179_wav_activity_segments(spark, sf_dir):
 
     media = attach_wav_payload(load(spark, sf_dir, "documents"))
     return segment_wav_activity(media)
+
+
+# --------------------------------------------------------------------------
+# q187/q188: perceptual image dedup over the REAL BMP decode path.
+# q187 computes the 64-bit average-hash (aHash) per image as 4x16-bit
+# bands — exact integer math, so the oracle rebuilds every bit from
+# the source bytes. q188 finds near-duplicate IMAGES: identical-hash
+# groups collapse first (one linear groupBy — that's where the mass
+# that grows with the corpus goes), then a banded pigeonhole join
+# (Hamming <= 3 over 4 bands => at least one band equal, the
+# operators/dedup.py simhash_near_pairs principle) runs over the
+# distinct-hash representatives only.
+# --------------------------------------------------------------------------
+
+_AHASH_HAM_MAX = 3  # pigeonhole-sound with 4 bands
+
+# Shared fingerprint CTE: gray_i = byte(3i+1)+byte(3i+2)+byte(3i+3) of
+# the text (zero-padded past the end, the attach_bmp_payload contract),
+# bit_i = gray_i*64 > total, bands = 16-bit little slices.
+_AHASH_CTE = """
+px AS (
+  SELECT d.doc_id, u.i AS pix,
+         (CASE WHEN 3*u.i+1 <= length(d.text) THEN ascii(substring(d.text, 3*u.i+1, 1)) ELSE 0 END
+        + CASE WHEN 3*u.i+2 <= length(d.text) THEN ascii(substring(d.text, 3*u.i+2, 1)) ELSE 0 END
+        + CASE WHEN 3*u.i+3 <= length(d.text) THEN ascii(substring(d.text, 3*u.i+3, 1)) ELSE 0 END) AS gray
+  FROM documents d, UNNEST(generate_series(0, 63)) AS u(i)
+),
+tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, px.pix,
+         CASE WHEN px.gray * 64 > t.total THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot t USING (doc_id)
+),
+f AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN pix//16=0 THEN bit << (pix%16) ELSE 0 END) AS INT) AS b0,
+    CAST(SUM(CASE WHEN pix//16=1 THEN bit << (pix%16) ELSE 0 END) AS INT) AS b1,
+    CAST(SUM(CASE WHEN pix//16=2 THEN bit << (pix%16) ELSE 0 END) AS INT) AS b2,
+    CAST(SUM(CASE WHEN pix//16=3 THEN bit << (pix%16) ELSE 0 END) AS INT) AS b3,
+    CAST(SUM(bit) AS INT) AS ones
+  FROM bits GROUP BY doc_id
+)
+"""
+
+_Q187_ORACLE = f"""
+WITH {_AHASH_CTE}
+SELECT doc_id, b0, b1, b2, b3, ones FROM f
+"""
+
+
+@query("q187_image_ahash", oracle=_Q187_ORACLE, tags=("multimodal", "dedup", "EXT"))
+def q187_image_ahash(spark, sf_dir):
+    """Perceptual average-hash per image through the REAL decode path:
+    encode an 8x8 24-bit BMP per doc, parse header + bottom-up rows
+    back, gray = B+G+R per pixel, bit = gray strictly above the image
+    mean (exact integer compare: gray*64 > total), packed into four
+    16-bit bands. One Arrow-batched mapInPandas, per-image state only;
+    the oracle rebuilds all 64 bits from the source bytes."""
+    from ..multimodal.codec import ahash_bmp, attach_bmp_payload
+
+    media = attach_bmp_payload(load(spark, sf_dir, "documents"))
+    return ahash_bmp(media)
+
+
+_Q188_ORACLE = f"""
+WITH {_AHASH_CTE},
+reps AS (
+  SELECT b0, b1, b2, b3, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM f GROUP BY b0, b1, b2, b3
+)
+SELECT a.rep AS rep_a, b.rep AS rep_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+         AS hamming,
+       a.n_members AS n_a, b.n_members AS n_b
+FROM reps a JOIN reps b ON a.rep < b.rep
+  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {_AHASH_HAM_MAX}
+"""
+
+
+@query("q188_image_near_dup", oracle=_Q188_ORACLE, tags=("multimodal", "dedup", "EXT"))
+def q188_image_near_dup(spark, sf_dir):
+    """Near-duplicate image pairs at Hamming <= {_AHASH_HAM_MAX} over
+    the aHash, in two stages shaped for scale:
+
+    1. Collapse identical hashes with one hash-groupBy (min doc_id as
+       representative + member count). Exact-duplicate mass — the part
+       that grows linearly with a real corpus (re-crawls, mirrors) —
+       never reaches the pair join; it costs one combinable aggregate.
+    2. Banded pigeonhole join over the DISTINCT-hash representatives:
+       Hamming <= 3 across 64 bits split into 4 bands forces >= 1 full
+       band to match, so candidates come from band-equality blocks,
+       never all-pairs. Residual block fan-out is bounded by the
+       distinct-hash density per 16-bit band (and a df-style band cap
+       — operators/dedup.py MAX_SHINGLE_DF discipline — is the dial if
+       a real corpus saturates a band).
+
+    Distinct (rep_a, rep_b) before the Hamming filter dedupes pairs
+    that share several bands. Member counts ride along so downstream
+    keep-best knows each pair's true weight."""
+    from ..multimodal.codec import AHASH_BANDS, ahash_bmp, attach_bmp_payload
+
+    media = attach_bmp_payload(load(spark, sf_dir, "documents"))
+    fp = ahash_bmp(media)
+    reps = (
+        fp.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bands = reps.select(
+        "rep",
+        "n_members",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"), F.col(f"b{i}").alias("v")
+                    )
+                    for i in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("rep", "n_members", "b0", "b1", "b2", "b3", "blk.band_id", "blk.v")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
+        for i in range(AHASH_BANDS)
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            ham.alias("hamming"),
+            F.col("a.n_members").alias("n_a"),
+            F.col("b.n_members").alias("n_b"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _AHASH_HAM_MAX)
+    )

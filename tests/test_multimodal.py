@@ -215,3 +215,63 @@ def test_q179_vad_segments_known_clip(spark, tmp_path):
     assert r["n_active"] == 2  # the two all-space frames
     assert r["n_segments"] == 1  # consecutive -> one island
     assert r["longest_segment"] == 2
+
+
+def test_ahash_known_images(spark):
+    """aHash bits on hand-built images where the answer is arithmetic:
+    a flat image has NO bit set (strict > mean), a half-bright image
+    sets exactly the bright half, and a one-pixel spike sets one bit."""
+    from rds_glue_s3_etl_pipeline_spark.multimodal.codec import (
+        ahash_bmp,
+        encode_bmp24,
+    )
+
+    flat = bytes([7] * 192)
+    # pixels 0-31 dark (0), 32-63 bright (200 per channel)
+    half = bytes([0] * 96) + bytes([200] * 96)
+    spike = bytes([255, 255, 255]) + bytes([0] * 189)
+    payloads = [(0, encode_bmp24(8, 8, flat)), (1, encode_bmp24(8, 8, half)),
+                (2, encode_bmp24(8, 8, spike))]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in ahash_bmp(media).collect()}
+    assert out[0]["ones"] == 0
+    assert (out[0]["b0"], out[0]["b1"], out[0]["b2"], out[0]["b3"]) == (0, 0, 0, 0)
+    # half: pixels 32..63 above the mean -> b0=b1=0, b2=b3=0xFFFF
+    assert out[1]["ones"] == 32
+    assert (out[1]["b0"], out[1]["b1"]) == (0, 0)
+    assert (out[1]["b2"], out[1]["b3"]) == (0xFFFF, 0xFFFF)
+    # spike: only pixel 0 exceeds the mean -> bit 0 of band 0
+    assert out[2]["ones"] == 1
+    assert (out[2]["b0"], out[2]["b1"], out[2]["b2"], out[2]["b3"]) == (1, 0, 0, 0)
+
+
+def test_q188_matches_bruteforce_over_fingerprints(spark, sf_dir):
+    """The banded pigeonhole join returns EXACTLY the brute-force
+    Hamming<=3 pairs over distinct-hash representatives (blocking is
+    a candidate generator, never a filter)."""
+    from rds_glue_s3_etl_pipeline_spark.queries.multimodal_q import (
+        _AHASH_HAM_MAX,
+        q187_image_ahash,
+        q188_image_near_dup,
+    )
+
+    fps = q187_image_ahash(spark, sf_dir).collect()
+    groups: dict[tuple, list] = {}
+    for r in fps:
+        groups.setdefault((r["b0"], r["b1"], r["b2"], r["b3"]), []).append(
+            r["doc_id"]
+        )
+    reps = {min(v): (k, len(v)) for k, v in groups.items()}
+    expect = set()
+    items = sorted(reps.items())
+    for i, (ra, (ha, na)) in enumerate(items):
+        for rb, (hb, nb) in items[i + 1 :]:
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(ha, hb))
+            if ham <= _AHASH_HAM_MAX:
+                expect.add((ra, rb, ham, na, nb))
+    got = {
+        (r["rep_a"], r["rep_b"], r["hamming"], r["n_a"], r["n_b"])
+        for r in q188_image_near_dup(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect  # non-trivial at the smoke fixture
