@@ -7,6 +7,7 @@ ride through the same mapInPandas pass and are covered by unit tests.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -308,11 +309,23 @@ def q188_image_near_dup(spark, sf_dir):
     Distinct (rep_a, rep_b) before the Hamming filter dedupes pairs
     that share several bands. Member counts ride along so downstream
     keep-best knows each pair's true weight."""
-    from ..multimodal.codec import AHASH_BANDS, ahash_bmp, attach_bmp_payload
+    fp = _ahash_fingerprints(spark, sf_dir)
+    return _ahash_rep_pairs(_ahash_reps(fp))
+
+
+def _ahash_fingerprints(spark, sf_dir):
+    """The q187 fingerprint frame (decode + hash in one mapInPandas)."""
+    from ..multimodal.codec import ahash_bmp, attach_bmp_payload
 
     media = attach_bmp_payload(load(spark, sf_dir, "documents"))
-    fp = ahash_bmp(media)
-    reps = (
+    return ahash_bmp(media)
+
+
+def _ahash_reps(fp):
+    """Identical-hash collapse: one combinable groupBy, checkpointed
+    because both sides of the band join (and q189's member mapping)
+    read it."""
+    return (
         fp.groupBy("b0", "b1", "b2", "b3")
         .agg(
             F.min("doc_id").alias("rep"),
@@ -320,6 +333,12 @@ def q188_image_near_dup(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
+
+
+def _ahash_rep_pairs(reps):
+    """Banded pigeonhole join over distinct-hash representatives."""
+    from ..multimodal.codec import AHASH_BANDS
+
     bands = reps.select(
         "rep",
         "n_members",
@@ -359,4 +378,100 @@ def q188_image_near_dup(spark, sf_dir):
         )
         .distinct()
         .filter(F.col("hamming") <= _AHASH_HAM_MAX)
+    )
+
+
+# --------------------------------------------------------------------------
+# q189: the image-dedup DECISION — near-dup pairs (q188) become
+# clusters (connected components), clusters become one kept image
+# each, and every document maps to its cluster through its hash
+# group. The q124 keep-best shape for the multimodal column.
+# --------------------------------------------------------------------------
+
+_Q189_ORACLE = f"""
+WITH RECURSIVE {_AHASH_CTE},
+reps AS (
+  SELECT b0, b1, b2, b3, MIN(doc_id) AS rep FROM f GROUP BY b0, b1, b2, b3
+),
+pairs AS (
+  SELECT a.rep AS rep_a, b.rep AS rep_b
+  FROM reps a JOIN reps b ON a.rep < b.rep
+    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {_AHASH_HAM_MAX}
+),
+sym AS (
+  SELECT rep_a AS a, rep_b AS b FROM pairs
+  UNION
+  SELECT rep_b, rep_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cl AS (SELECT a AS rep, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
+members AS (
+  SELECT COALESCE(cl.cluster_id, r.rep) AS cluster_id, f.doc_id, f.ones
+  FROM f
+  JOIN reps r USING (b0, b1, b2, b3)
+  LEFT JOIN cl ON cl.rep = r.rep
+)
+SELECT m.cluster_id, m.doc_id AS kept_doc_id,
+       CAST(m.ones AS BIGINT) AS kept_ones, s.n_docs
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY ones DESC, doc_id) AS rn
+      FROM members) m
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM members GROUP BY cluster_id) s USING (cluster_id)
+WHERE m.rn = 1
+"""
+
+
+@query("q189_image_dedup_keep_best", oracle=_Q189_ORACLE, tags=("multimodal", "dedup", "graph", "EXT"))
+def q189_image_dedup_keep_best(spark, sf_dir):
+    """Image dedup end-to-end: aHash (q187) -> identical-hash collapse
+    -> banded near-dup pairs (q188) -> connected components
+    (large/small-star contraction, diameter-independent) -> keep the
+    highest-detail image per cluster (max set bits 'ones' — flat
+    boilerplate images lose to structured ones — then min doc_id).
+    Every document maps to its cluster through its hash group, so
+    cluster sizes count DOCUMENTS, not representatives.
+
+    Scale shape: the decode is one Arrow pass; the only corpus-sized
+    shuffles are the hash groupBy, the doc->rep mapping join, and the
+    per-cluster window (partitioned by cluster — bounded by dup-group
+    size); the pair join and CC run over representatives only."""
+    from ..operators.graph import connected_components_star
+
+    fp = _ahash_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
+    reps = _ahash_reps(fp)
+    edges = _ahash_rep_pairs(reps).select("rep_a", "rep_b")
+    cc = connected_components_star(edges, src="rep_a", dst="rep_b").select(
+        F.col("id").alias("rep"), "cluster_id"
+    )
+    rep_cluster = reps.join(cc, "rep", "left").select(
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.coalesce("cluster_id", "rep").alias("cluster_id"),
+    )
+    members = fp.join(rep_cluster, ["b0", "b1", "b2", "b3"]).select(
+        "cluster_id", "doc_id", "ones"
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("ones"), "doc_id")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("ones").cast("long").alias("kept_ones"),
+            "n_docs",
+        )
     )

@@ -275,3 +275,51 @@ def test_q188_matches_bruteforce_over_fingerprints(spark, sf_dir):
     }
     assert got == expect
     assert expect  # non-trivial at the smoke fixture
+
+
+def test_q189_keep_best_invariants(spark, sf_dir):
+    """Every document lands in exactly one cluster; the kept image has
+    the cluster's max detail (ones, then min doc_id); clusters agree
+    with a brute-force transitive closure over the q188 pairs."""
+    from rds_glue_s3_etl_pipeline_spark.queries.multimodal_q import (
+        q187_image_ahash,
+        q188_image_near_dup,
+        q189_image_dedup_keep_best,
+    )
+
+    fps = q187_image_ahash(spark, sf_dir).collect()
+    out = q189_image_dedup_keep_best(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in out) == len(fps)
+    assert len({r["cluster_id"] for r in out}) == len(out)
+    # Brute-force clustering: union-find over rep pairs, then map every
+    # doc through its hash group.
+    groups: dict[tuple, list] = {}
+    for r in fps:
+        groups.setdefault((r["b0"], r["b1"], r["b2"], r["b3"]), []).append(r)
+    rep_of_hash = {k: min(x["doc_id"] for x in v) for k, v in groups.items()}
+    parent = {rep: rep for rep in rep_of_hash.values()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in q188_image_near_dup(spark, sf_dir).collect():
+        a, b = find(p["rep_a"]), find(p["rep_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    clusters: dict[int, list] = {}
+    for k, members in groups.items():
+        cid = find(rep_of_hash[k])
+        clusters.setdefault(cid, []).extend(members)
+    expect = {}
+    for cid, members in clusters.items():
+        cid_min = min(m["doc_id"] for m in members)  # component min doc
+        best = sorted(members, key=lambda m: (-m["ones"], m["doc_id"]))[0]
+        expect[cid_min] = (best["doc_id"], best["ones"], len(members))
+    got = {
+        r["cluster_id"]: (r["kept_doc_id"], r["kept_ones"], r["n_docs"])
+        for r in out
+    }
+    assert got == expect
