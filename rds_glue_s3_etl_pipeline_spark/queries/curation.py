@@ -346,3 +346,112 @@ def q186_ngram_novelty(spark, sf_dir):
             (F.sum(novel) / F.count(F.lit(1)).cast("double")).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q190: the full curation pipeline verdict — one row per document with
+# the first gate that rejected it (or 'kept'). Gate order mirrors a
+# production pretraining pipeline: near-dup keep-best first (q124's
+# decision), then the quality bar, then the novelty/boilerplate bar.
+# The composite materializes what q133-style exports consume, and its
+# mix (how many docs each gate ate) is the number a data team actually
+# watches per ingest.
+# --------------------------------------------------------------------------
+
+_CP_QUALITY_MIN = 0.6
+_CP_NOVELTY_MIN = 0.5
+
+
+def _q190_oracle() -> str:
+    from .text import _Q20_ORACLE, _Q23_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_Q23_ORACLE})
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cl AS (
+  SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+),
+assigned AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+  FROM assigned
+),
+q AS ({_Q20_ORACLE}),
+nv AS ({_Q186_ORACLE})
+SELECT r.doc_id, r.cluster_id, q.quality,
+       COALESCE(nv.novelty, 1.0) AS novelty,
+       CASE WHEN r.rn > 1 THEN 'dup_loser'
+            WHEN q.quality < {_CP_QUALITY_MIN} THEN 'low_quality'
+            WHEN COALESCE(nv.novelty, 1.0) < {_CP_NOVELTY_MIN} THEN 'low_novelty'
+            ELSE 'kept' END AS verdict
+FROM ranked r
+JOIN q ON q.doc_id = r.doc_id
+LEFT JOIN nv ON nv.doc_id = r.doc_id
+"""
+
+
+@query("q190_curation_pipeline", oracle=_q190_oracle(), tags=("text", "dedup", "curation", "EXT"))
+def q190_curation_pipeline(spark, sf_dir):
+    """End-to-end curation verdict per document: near-dup keep-best
+    (staged LSH edges -> star-contraction components -> longest-doc
+    survivor, exactly q124's decision), then the q20 quality bar, then
+    the q186 novelty bar. First failing gate wins; survivors are
+    'kept'. Docs too short to shingle have no novelty evidence and
+    pass that gate (novelty defaults to 1.0).
+
+    Scale shape: the three signals are each one corpus-linear pass
+    (staged dedup ~ true-dup-linear, quality pure codegen built-ins,
+    novelty one shingle df aggregate + hash join), composed with two
+    hash joins on doc_id — the whole pipeline is a DAG of the already-
+    proven pieces with no new shuffle shapes; the dup-cluster map
+    broadcast follows q124's dup-rate argument."""
+    from ..operators.graph import connected_components_star
+    from .text import staged_near_dup_edges
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    edges = staged_near_dup_edges(spark, sf_dir)
+    cl = connected_components_star(edges, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    assigned = docs.join(F.broadcast(cl), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+        "text",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = assigned.withColumn("rn", F.row_number().over(w))
+    nv = q186_ngram_novelty(spark, sf_dir).select("doc_id", "novelty")
+    scored = ranked.join(nv, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        "rn",
+        X.quality_score("text").alias("quality"),
+        F.coalesce("novelty", F.lit(1.0)).alias("novelty"),
+    )
+    verdict = (
+        F.when(F.col("rn") > 1, F.lit("dup_loser"))
+        .when(F.col("quality") < _CP_QUALITY_MIN, F.lit("low_quality"))
+        .when(F.col("novelty") < _CP_NOVELTY_MIN, F.lit("low_novelty"))
+        .otherwise(F.lit("kept"))
+    )
+    return scored.select(
+        "doc_id", "cluster_id", "quality", "novelty", verdict.alias("verdict")
+    )

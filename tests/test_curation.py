@@ -137,3 +137,49 @@ def test_q186_novelty_matches_pandas_recompute(spark):
         assert r["n_novel"] == n_novel
         assert r["novelty"] == pytest.approx(n_novel / len(shs), abs=0.0)
     assert set(out) <= set(shingles)
+
+
+def test_q190_gate_precedence_and_composition(spark):
+    """q190's verdicts recompute exactly from its three component
+    queries: q124 (survivors), q20 (quality), q186 (novelty)."""
+    from rds_glue_s3_etl_pipeline_spark.queries.curation import (
+        _CP_NOVELTY_MIN,
+        _CP_QUALITY_MIN,
+        q190_curation_pipeline,
+    )
+    from rds_glue_s3_etl_pipeline_spark.queries.events3 import (
+        q124_dedup_keep_best,
+    )
+    from rds_glue_s3_etl_pipeline_spark.queries.text import q20_quality_score
+
+    out = {r["doc_id"]: r for r in q190_curation_pipeline(spark, SF).collect()}
+    survivors = {
+        r["kept_doc_id"] for r in q124_dedup_keep_best(spark, SF).collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality"] for r in q20_quality_score(spark, SF).collect()
+    }
+    novelty = {
+        r["doc_id"]: r["novelty"]
+        for r in q186_ngram_novelty(spark, SF).collect()
+    }
+    assert set(out) == set(quality)  # one verdict per document
+    n_kept = 0
+    for doc_id, r in out.items():
+        nv = novelty.get(doc_id, 1.0)
+        if doc_id not in survivors:
+            expect = "dup_loser"
+        elif quality[doc_id] < _CP_QUALITY_MIN:
+            expect = "low_quality"
+        elif nv < _CP_NOVELTY_MIN:
+            expect = "low_novelty"
+        else:
+            expect = "kept"
+            n_kept += 1
+        assert r["verdict"] == expect, (doc_id, r["verdict"], expect)
+        assert r["quality"] == pytest.approx(quality[doc_id], abs=0.0)
+        assert r["novelty"] == pytest.approx(nv, abs=0.0)
+    # The pipeline keeps a meaningful majority and every gate fires
+    # somewhere on the smoke fixture.
+    verdicts = {r["verdict"] for r in out.values()}
+    assert n_kept > 0 and "dup_loser" in verdicts
