@@ -455,3 +455,96 @@ def q190_curation_pipeline(spark, sf_dir):
     return scored.select(
         "doc_id", "cluster_id", "quality", "novelty", verdict.alias("verdict")
     )
+
+
+# --------------------------------------------------------------------------
+# q191: retrieval quality metrics — MRR and NDCG@k of the IVF ANN
+# (q59) against exact brute force (q24), per query. Completes the
+# recall-gate family (q145/q155/q157/q158 measure recall@k; this adds
+# the rank-sensitive metrics an IR eval actually reports). All log2
+# weights are PRECOMPUTED literals shared by both engines, so the
+# metric math is bit-deterministic with no engine log() in the path.
+# --------------------------------------------------------------------------
+
+# 1/log2(rank+1) for rank 1..5 and cumulative ideal DCG for m=1..5
+# relevant items (shortest-roundtrip float literals — both engines
+# parse them to the identical double).
+_NDCG_W = (1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163)
+_NDCG_IDCG = (1.0, 1.6309297535714575, 2.1309297535714578, 2.5616063116448506, 2.9484591188793923)
+
+
+def _q191_oracle() -> str:
+    from .vector import _Q24_ORACLE
+    from .vector2 import _Q59_ORACLE
+
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w!r}" for i, w in enumerate(_NDCG_W)
+    )
+    idcg_case = " ".join(
+        f"WHEN {m + 1} THEN {v!r}" for m, v in enumerate(_NDCG_IDCG)
+    )
+    return f"""
+WITH exact_k AS ({_Q24_ORACLE}),
+rel AS (SELECT q_id, vec_id FROM exact_k WHERE vec_id <> q_id),
+m AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY q_id),
+ivf AS ({_Q59_ORACLE}),
+hits AS (
+  SELECT i.q_id, i.rank
+  FROM ivf i JOIN rel r ON r.q_id = i.q_id AND r.vec_id = i.vec_id
+),
+agg AS (
+  SELECT q_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MIN(rank) AS first_hit,
+         SUM(CASE rank {w_case} ELSE 0.0 END) AS dcg
+  FROM hits GROUP BY q_id
+)
+SELECT m.q_id, m.n_rel,
+       COALESCE(a.n_hits, 0) AS n_hits,
+       COALESCE(1.0 / a.first_hit, 0.0) AS mrr,
+       COALESCE(a.dcg, 0.0) / (CASE m.n_rel {idcg_case} ELSE 1.0 END) AS ndcg
+FROM m LEFT JOIN agg a USING (q_id)
+"""
+
+
+@query("q191_retrieval_metrics", oracle=_q191_oracle(), tags=("vector", "retrieval", "EXT"))
+def q191_retrieval_metrics(spark, sf_dir):
+    """Per-query MRR and NDCG@k of IVF-Flat (q59, nprobe=1) against
+    the exact cosine top-k (q24), relevance = the exact list minus the
+    query itself (the IVF arm excludes self-matches by construction).
+
+    Scale shape: both arms are the already-audited ANN plans; the
+    metric layer is one (q_id, vec_id) hash join bounded by #queries x
+    k plus a per-query aggregate — negligible next to the arms at any
+    corpus size. Rank weights 1/log2(r+1) and ideal-DCG denominators
+    are literal constants, so the only floating math is sums of a
+    handful of identical doubles on both engines."""
+    from .vector import q24_cosine_topk
+    from .vector2 import q59_ivf_topk
+
+    exact = q24_cosine_topk(spark, sf_dir).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    rel = exact.select("q_id", "vec_id")
+    m = rel.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    ivf = q59_ivf_topk(spark, sf_dir).select("q_id", "vec_id", "rank")
+    hits = ivf.join(rel, ["q_id", "vec_id"])
+    w_col = F.col("rank")
+    dcg_w = F.lit(0.0)
+    for i, w in enumerate(_NDCG_W):
+        dcg_w = F.when(w_col == i + 1, F.lit(w)).otherwise(dcg_w)
+    agg = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rank").alias("first_hit"),
+        F.sum(dcg_w).alias("dcg"),
+    )
+    idcg = F.lit(1.0)
+    for mm, v in enumerate(_NDCG_IDCG):
+        idcg = F.when(F.col("n_rel") == mm + 1, F.lit(v)).otherwise(idcg)
+    return m.join(agg, "q_id", "left").select(
+        "q_id",
+        "n_rel",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)).alias("mrr"),
+        (F.coalesce("dcg", F.lit(0.0)) / idcg).alias("ndcg"),
+    )

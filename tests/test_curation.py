@@ -183,3 +183,41 @@ def test_q190_gate_precedence_and_composition(spark):
     # somewhere on the smoke fixture.
     verdicts = {r["verdict"] for r in out.values()}
     assert n_kept > 0 and "dup_loser" in verdicts
+
+
+def test_q191_metrics_recompute_from_arms(spark):
+    """MRR/NDCG recompute exactly from the two arm queries' outputs."""
+    import math
+
+    from rds_glue_s3_etl_pipeline_spark.queries.curation import (
+        q191_retrieval_metrics,
+    )
+    from rds_glue_s3_etl_pipeline_spark.queries.vector import q24_cosine_topk
+    from rds_glue_s3_etl_pipeline_spark.queries.vector2 import q59_ivf_topk
+
+    rel: dict[int, set] = {}
+    for r in q24_cosine_topk(spark, SF).collect():
+        if r["vec_id"] != r["q_id"]:
+            rel.setdefault(r["q_id"], set()).add(r["vec_id"])
+    ivf: dict[int, list] = {}
+    for r in q59_ivf_topk(spark, SF).collect():
+        ivf.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+    out = {r["q_id"]: r for r in q191_retrieval_metrics(spark, SF).collect()}
+    assert set(out) == set(rel)
+    for q_id, relevant in rel.items():
+        hits = sorted(
+            (rank for rank, v in ivf.get(q_id, []) if v in relevant)
+        )
+        r = out[q_id]
+        assert r["n_rel"] == len(relevant)
+        assert r["n_hits"] == len(hits)
+        assert r["mrr"] == pytest.approx(
+            1.0 / hits[0] if hits else 0.0, abs=0.0
+        )
+        dcg = sum(1.0 / math.log2(rank + 1) for rank in hits)
+        idcg = sum(
+            1.0 / math.log2(i + 2) for i in range(min(len(relevant), 5))
+        )
+        assert r["ndcg"] == pytest.approx(dcg / idcg, rel=1e-12)
+    # The gate is non-trivial: nprobe=1 IVF misses some exact hits.
+    assert any(r["n_hits"] < r["n_rel"] for r in out.values())
