@@ -475,3 +475,91 @@ def q189_image_dedup_keep_best(spark, sf_dir):
             "n_docs",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q192: cross-modality dedup agreement — q181's agreement-gate idea
+# applied across MODALITIES: for every verified TEXT near-dup pair
+# (q23's exact Jaccard edges), how far apart are the two documents'
+# IMAGE hashes? Linear in the text-pair count (two fingerprint joins,
+# no new pair generation), and the bucketed report is the go/no-go a
+# pipeline checks before trusting one modality's dedup to stand in
+# for the other's.
+# --------------------------------------------------------------------------
+
+def _q192_oracle() -> str:
+    from .text import _Q23_ORACLE
+
+    return f"""
+WITH {_AHASH_CTE},
+tp AS (SELECT doc_a, doc_b, jaccard FROM ({_Q23_ORACLE})),
+j AS (
+  SELECT tp.jaccard,
+         bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+       + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS ham
+  FROM tp
+  JOIN f fa ON fa.doc_id = tp.doc_a
+  JOIN f fb ON fb.doc_id = tp.doc_b
+)
+SELECT CASE WHEN ham = 0 THEN 'identical'
+            WHEN ham <= {_AHASH_HAM_MAX} THEN 'near'
+            WHEN ham <= 10 THEN 'far'
+            ELSE 'unrelated' END AS image_verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(CAST(SUM(CAST(jaccard AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS avg_jaccard
+FROM j GROUP BY 1
+"""
+
+
+@query("q192_modality_agreement", oracle=_q192_oracle(), tags=("multimodal", "dedup", "EXT"))
+def q192_modality_agreement(spark, sf_dir):
+    """Cross-modality dedup agreement: bucket every verified text
+    near-dup pair (q23 exact Jaccard edges) by the Hamming distance of
+    the two docs' image aHashes — identical (0) / near (<=3) / far
+    (<=10) / unrelated. High 'near' mass means image dedup could
+    front-run text dedup at a fraction of the cost; 'unrelated' mass
+    is where it would silently miss.
+
+    Scale shape: cost is two hash joins of the text-pair set against
+    the fingerprint table (linear in pairs) plus a 4-row aggregate —
+    no new pair generation. The Jaccard average uses the exact-decimal
+    sum discipline so both engines divide identical numerators."""
+    from .text import q23_ngram_jaccard_pairs
+
+    fp = _ahash_fingerprints(spark, sf_dir)
+    tp = q23_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}")))
+        for i in range(4)
+    )
+    verdict = (
+        F.when(ham == 0, F.lit("identical"))
+        .when(ham <= _AHASH_HAM_MAX, F.lit("near"))
+        .when(ham <= 10, F.lit("far"))
+        .otherwise(F.lit("unrelated"))
+    )
+    return (
+        tp.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .groupBy(verdict.alias("image_verdict"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(F.col("jaccard").cast("decimal(18,8)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_jaccard"),
+        )
+    )

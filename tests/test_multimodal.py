@@ -323,3 +323,43 @@ def test_q189_keep_best_invariants(spark, sf_dir):
         for r in out
     }
     assert got == expect
+
+
+def test_q192_buckets_recompute_from_components(spark, sf_dir):
+    """The agreement buckets recompute exactly from q23 pairs and q187
+    fingerprints."""
+    from rds_glue_s3_etl_pipeline_spark.queries.multimodal_q import (
+        _AHASH_HAM_MAX,
+        q187_image_ahash,
+        q192_modality_agreement,
+    )
+    from rds_glue_s3_etl_pipeline_spark.queries.text import (
+        q23_ngram_jaccard_pairs,
+    )
+
+    fp = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in q187_image_ahash(spark, sf_dir).collect()
+    }
+    buckets: dict[str, list] = {}
+    for p in q23_ngram_jaccard_pairs(spark, sf_dir).collect():
+        ham = sum(
+            bin(x ^ y).count("1")
+            for x, y in zip(fp[p["doc_a"]], fp[p["doc_b"]])
+        )
+        if ham == 0:
+            b = "identical"
+        elif ham <= _AHASH_HAM_MAX:
+            b = "near"
+        elif ham <= 10:
+            b = "far"
+        else:
+            b = "unrelated"
+        buckets.setdefault(b, []).append(p["jaccard"])
+    out = {r["image_verdict"]: r for r in q192_modality_agreement(spark, sf_dir).collect()}
+    assert set(out) == set(buckets)
+    for b, jacs in buckets.items():
+        assert out[b]["n_pairs"] == len(jacs)
+        assert out[b]["avg_jaccard"] == pytest.approx(
+            sum(jacs) / len(jacs), rel=1e-6
+        )
