@@ -251,8 +251,13 @@ def q185_domain_temperature_mix(spark, sf_dir):
     everything after the first aggregate is driver-free broadcast
     math."""
     d = load(spark, sf_dir, "documents")
-    cell = d.groupBy("lang", "source").agg(
-        F.sum("n_chars").cast("long").alias("chars")
+    # Materialize the domain table once (#domains rows): tot, pw, and
+    # z all derive from it — without this the documents scan re-runs
+    # for every branch (the plan audit counted 4 scans).
+    cell = (
+        d.groupBy("lang", "source")
+        .agg(F.sum("n_chars").cast("long").alias("chars"))
+        .localCheckpoint(eager=True)
     )
     tot = cell.agg(F.sum("chars").cast("long").alias("total_chars"))
     share = F.col("chars") / F.col("total_chars").cast("double")
@@ -547,4 +552,40 @@ def q191_retrieval_metrics(spark, sf_dir):
         F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
         F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)).alias("mrr"),
         (F.coalesce("dcg", F.lit(0.0)) / idcg).alias("ndcg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q194: the curation mix report — q190's verdicts rolled up by
+# (lang, verdict) with doc and char mass, the q134-shaped dashboard
+# row a data team watches per ingest: which gate is eating which
+# language, and how much trainable text survives.
+# --------------------------------------------------------------------------
+
+def _q194_oracle() -> str:
+    return f"""
+WITH verdicts AS ({_q190_oracle()})
+SELECT d.lang, v.verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+FROM verdicts v JOIN documents d ON d.doc_id = v.doc_id
+GROUP BY d.lang, v.verdict
+"""
+
+
+@query("q194_curation_mix_report", oracle=_q194_oracle(), tags=("text", "curation", "agg", "EXT"))
+def q194_curation_mix_report(spark, sf_dir):
+    """Roll q190's per-doc verdicts up to the (lang, verdict) mix —
+    doc counts and char mass per cell. One hash aggregate over the
+    composite's output joined back to documents for lang/n_chars; the
+    report is #langs x 4 rows at any corpus size."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    v = q190_curation_pipeline(spark, sf_dir).select("doc_id", "verdict")
+    return (
+        v.join(d, "doc_id")
+        .groupBy("lang", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
     )

@@ -563,3 +563,98 @@ def q192_modality_agreement(spark, sf_dir):
             ).alias("avg_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q193: incremental image dedup — the q126/q150 ingest shape for the
+# image modality. New batch = doc_id % 5 == 0 (the registry's standard
+# incremental split), history = the rest; each new image probes the
+# history's fingerprint index through the banded blocks and reports
+# its best (lowest-Hamming) history match within the near-dup radius.
+# --------------------------------------------------------------------------
+
+_Q193_ORACLE = f"""
+WITH {_AHASH_CTE}
+SELECT new_doc_id, best_hist_doc_id, hamming
+FROM (
+  SELECT a.doc_id AS new_doc_id, b.doc_id AS best_hist_doc_id,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+           AS hamming,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.doc_id
+           ORDER BY bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)),
+                    b.doc_id) AS rn
+  FROM f a JOIN f b
+    ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {_AHASH_HAM_MAX}
+)
+WHERE rn = 1
+"""
+
+
+@query("q193_incremental_image_dedup", oracle=_Q193_ORACLE, tags=("multimodal", "dedup", "EXT"))
+def q193_incremental_image_dedup(spark, sf_dir):
+    """Ingest-time image dedup: the new batch (doc_id % 5 == 0, the
+    registry's incremental split) probes the HISTORY fingerprint index
+    via the banded pigeonhole blocks; each new image reports its best
+    history match within Hamming <= {_AHASH_HAM_MAX} (min distance,
+    ties to the lowest history id) — the 'have we seen this image'
+    decision an ingest pipeline makes per batch.
+
+    Scale shape: per-batch cost is batch x band-block density, never
+    history x history — the incident-edge property that makes q126/
+    q150 batch-linear, here for the image modality. The history index
+    in production is the persisted q187 fingerprint table partitioned
+    by band value; this query recomputes it inline so the oracle can
+    rebuild everything from source bytes."""
+    from ..multimodal.codec import AHASH_BANDS
+
+    fp = _ahash_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
+
+    def banded(df, prefix):
+        return df.select(
+            F.col("doc_id").alias(f"{prefix}_id"),
+            *[F.col(f"b{i}").alias(f"{prefix}{i}") for i in range(AHASH_BANDS)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_id"), F.col(f"b{i}").alias("v")
+                        )
+                        for i in range(AHASH_BANDS)
+                    ]
+                )
+            ).alias("blk"),
+        ).select(
+            f"{prefix}_id",
+            *[f"{prefix}{i}" for i in range(AHASH_BANDS)],
+            "blk.band_id",
+            "blk.v",
+        )
+
+    new = banded(fp.filter(F.col("doc_id") % 5 == 0), "n")
+    hist = banded(fp.filter(F.col("doc_id") % 5 != 0), "h")
+    ham = sum(
+        F.bit_count(F.col(f"n{i}").bitwiseXOR(F.col(f"h{i}")))
+        for i in range(AHASH_BANDS)
+    ).cast("long")
+    cand = (
+        new.join(hist, ["band_id", "v"])
+        .select(
+            F.col("n_id").alias("new_doc_id"),
+            F.col("h_id").alias("best_hist_doc_id"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _AHASH_HAM_MAX)
+    )
+    w = Window.partitionBy("new_doc_id").orderBy("hamming", "best_hist_doc_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_doc_id", "best_hist_doc_id", "hamming")
+    )

@@ -221,3 +221,27 @@ def test_q191_metrics_recompute_from_arms(spark):
         assert r["ndcg"] == pytest.approx(dcg / idcg, rel=1e-12)
     # The gate is non-trivial: nprobe=1 IVF misses some exact hits.
     assert any(r["n_hits"] < r["n_rel"] for r in out.values())
+
+
+def test_q194_mix_report_recomputes_from_q190(spark):
+    import pandas as pd
+
+    from rds_glue_s3_etl_pipeline_spark.queries.curation import (
+        q190_curation_pipeline,
+        q194_curation_mix_report,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[
+        ["doc_id", "lang", "n_chars"]
+    ].set_index("doc_id")
+    expect: dict[tuple, list] = {}
+    for r in q190_curation_pipeline(spark, SF).collect():
+        key = (docs.loc[r["doc_id"], "lang"], r["verdict"])
+        expect.setdefault(key, []).append(int(docs.loc[r["doc_id"], "n_chars"]))
+    got = {
+        (r["lang"], r["verdict"]): (r["n_docs"], r["n_chars"])
+        for r in q194_curation_mix_report(spark, SF).collect()
+    }
+    assert got == {
+        k: (len(v), sum(v)) for k, v in expect.items()
+    }

@@ -363,3 +363,35 @@ def test_q192_buckets_recompute_from_components(spark, sf_dir):
         assert out[b]["avg_jaccard"] == pytest.approx(
             sum(jacs) / len(jacs), rel=1e-6
         )
+
+
+def test_q193_best_match_recompute(spark, sf_dir):
+    """Best-history-match recomputes from the fingerprints: min
+    Hamming within the radius, ties to the lowest history id."""
+    from rds_glue_s3_etl_pipeline_spark.queries.multimodal_q import (
+        _AHASH_HAM_MAX,
+        q187_image_ahash,
+        q193_incremental_image_dedup,
+    )
+
+    fps = q187_image_ahash(spark, sf_dir).collect()
+    bands = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in fps}
+    new = [d for d in bands if d % 5 == 0]
+    hist = [d for d in bands if d % 5 != 0]
+    expect = {}
+    for n in new:
+        best = None
+        for h in hist:
+            ham = sum(
+                bin(x ^ y).count("1") for x, y in zip(bands[n], bands[h])
+            )
+            if ham <= _AHASH_HAM_MAX and (best is None or (ham, h) < best):
+                best = (ham, h)
+        if best is not None:
+            expect[n] = (best[1], best[0])
+    got = {
+        r["new_doc_id"]: (r["best_hist_doc_id"], r["hamming"])
+        for r in q193_incremental_image_dedup(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect  # non-trivial on the smoke fixture
