@@ -1,0 +1,109 @@
+"""Distributed Bloom filter: build a bitset over a (small-by-design)
+key set, broadcast it, and membership-test an arbitrarily large table
+WITHOUT shuffling it.
+
+This is the scale mechanism behind eval-set decontamination (q198):
+the eval benchmark is bounded (thousands to low millions of docs) but
+the training corpus is the 100 TB side. An exact semi-join flags
+contamination precisely, but shuffles corpus-side keys; the Bloom path
+keeps the corpus map-only — each executor tests k bit positions
+against a broadcast bitset — at the price of a bounded,
+*quantifiable* false-positive rate and exactly zero false negatives.
+The oracle contract (q198) is built on that asymmetry: the
+no-false-negative set relation and the exact contamination count are
+SQL-checkable; the FP overshoot is gated against the analytic bound.
+
+Hashing is JVM-side ``xxhash64(key, seed_i) mod m`` on BOTH the build
+and probe sides — the pandas stage only sets/tests bits, so there is
+no python-vs-JVM hash mismatch to drift.
+
+Sizing: ``m = 32 bits/key`` (next power of two), ``k = 4`` →
+theoretical FP ≈ (1 - e^(-k·n/m))^k ≈ 2e-4. Memory: 4 bytes/key —
+a 10M-doc eval set is a 40 MB broadcast, well inside executor budget;
+per-partition build partials are the same m/8 bytes and combine by
+bitwise OR on the driver (#partitions rows of m/8 bytes — for the
+small build side only, never the corpus).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+K_HASHES = 4
+BITS_PER_KEY = 32
+MIN_BITS = 1 << 13
+
+
+def bloom_bits(n_keys: int) -> int:
+    """Filter size in bits: next power of two >= 32 * n_keys (power of
+    two so ``pmod`` is a mask-equivalent and resizing is predictable)."""
+    m = MIN_BITS
+    while m < BITS_PER_KEY * max(n_keys, 1):
+        m <<= 1
+    return m
+
+
+def _positions(key: Column, m: int) -> Column:
+    """k bit positions for a key: xxhash64(key, seed) mod m, seeds
+    0..k-1 — deterministic, computed by the JVM on build AND probe."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)).cast("long")
+            for i in range(K_HASHES)
+        ]
+    )
+
+
+def bloom_build(keys: DataFrame, key_col: str, m: int) -> bytes:
+    """Build the m-bit filter over ``keys[key_col]``. Per-partition
+    numpy bitsets (m/8 bytes each) come back one row per non-empty
+    partition and OR together on the driver — the collect is bounded
+    by #partitions * m/8 bytes of the SMALL side, never by row count."""
+    pos_df = keys.select(_positions(F.col(key_col), m).alias("ps"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            ps = np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["ps"]])
+            np.bitwise_or.at(bits, ps >> 3, np.uint8(1) << (ps & 7).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    rows = pos_df.mapInPandas(build, schema="bits binary").collect()
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    for r in rows:
+        acc |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_probe(
+    df: DataFrame, key_col: str, bits: bytes, m: int, out_col: str = "maybe_member"
+) -> DataFrame:
+    """Append a boolean column: True iff all k positions are set.
+    Map-only over the large side — positions from the JVM, the bit
+    test a vectorized Arrow-batched pandas UDF over the broadcast
+    bitset (closure-captured: m/8 bytes shipped once per executor)."""
+    arr = np.frombuffer(bits, dtype=np.uint8)
+
+    @F.pandas_udf("boolean")
+    def test_bits(ps: pd.Series) -> pd.Series:
+        out = np.empty(len(ps), dtype=bool)
+        for i, p in enumerate(ps):
+            p = np.asarray(p, dtype=np.int64)
+            out[i] = bool(
+                ((arr[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all()
+            )
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col, test_bits(_positions(F.col(key_col), m))
+    )

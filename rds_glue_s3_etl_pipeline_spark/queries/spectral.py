@@ -1,0 +1,294 @@
+"""Spectral / corpus-statistics batch: distributed Gram and variance
+spectrum over the embedding corpus (q195/q196, decimal-exact and
+hash-matched), the PCA eigensolve gate (q197), and Bloom-filter
+eval-set decontamination (q198).
+
+Why these exist: a training-data pipeline over a 100 TB corpus needs
+(a) second-moment statistics for whitening / feature scaling /
+effective-rank diagnostics — one pass, d*(d+1)/2 numbers out — and
+(b) a decontamination mechanism whose cost does NOT shuffle the
+corpus. Both reduce to "small, provable driver-side state + map-only
+passes", which is exactly what the oracle contract can pin down.
+
+Reference scope: the reference job (gule_test_job.py) has no vector
+or corpus analytics; this batch extends the SURVEY §2 "beyond the
+reference" training-data families (dedup, similarity, curation) with
+the spectral + membership-filter layer they were missing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import bloom as B
+from ..operators import spectral as S
+from .registry import query
+
+_DIM = 64  # fixture embedding dimensionality (all SFs)
+
+# --------------------------------------------------------------------------
+# q195: exact-decimal Gram matrix — the one-pass second-moment
+# accumulation behind PCA/whitening, in its oracle-checkable form.
+# --------------------------------------------------------------------------
+
+_Q195_ORACLE = f"""
+WITH ex AS (
+  SELECT CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(14,4)) AS x,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         vec_id
+  FROM embeddings
+)
+SELECT CAST(a.d AS BIGINT) AS i, CAST(b.d AS BIGINT) AS j,
+       CAST(CAST(CAST(SUM(a.x * b.x) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS g
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.d >= a.d
+GROUP BY 1, 2
+"""
+
+
+@query("q195_embedding_gram", oracle=_Q195_ORACLE, tags=("vector", "spectral", "EXT"))
+def q195_embedding_gram(spark, sf_dir):
+    """Upper-triangular Gram matrix of the 4dp-quantized embedding
+    corpus: 2,080 rows (i, j, g) for d = 64, decimal-exact so the
+    DuckDB oracle hash-matches every entry. Scale shape: the two
+    posexplodes fan out inside the same stage as the partial hash
+    aggregate, so the exchange carries at most 2,080 rows per
+    partition no matter the corpus size; the float64 BLAS twin used
+    by the eigensolve (operators/spectral.gram_fast) is gated against
+    this form through q197's trace identity."""
+    emb = load(spark, sf_dir, "embeddings")
+    g = S.gram_exact(emb, "embedding")
+    return g.select(
+        "i", "j", F.col("g").cast("decimal(38,8)").cast("string").cast("double").alias("g")
+    )
+
+
+# --------------------------------------------------------------------------
+# q196: per-dimension mean/variance spectrum — feature-scaling stats,
+# the covariance diagonal, decimal-exact.
+# --------------------------------------------------------------------------
+
+_Q196_ORACLE = """
+WITH ex AS (
+  SELECT CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(14,4)) AS x,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+s AS (
+  SELECT CAST(d AS BIGINT) AS d,
+         CAST(CAST(CAST(SUM(x) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(CAST(SUM(x * x) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS s2,
+         COUNT(*) AS n
+  FROM ex GROUP BY d
+)
+SELECT d, s1 / n AS mean_d, (s2 - s1 * s1 / n) / n AS var_d FROM s
+"""
+
+
+def _variance_frame(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode(S.quantized("embedding")).alias("d", "x"))
+    s = ex.groupBy(F.col("d").cast("long").alias("d")).agg(
+        F.sum("x").cast("decimal(38,8)").cast("string").cast("double").alias("s1"),
+        F.sum(F.col("x") * F.col("x"))
+        .cast("decimal(38,8)")
+        .cast("string")
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # Fixed IEEE expression tree, identical on both engines: the
+    # decimal-exact sums are the only order-dependent inputs, and the
+    # string hop pins them bit for bit.
+    return s.select(
+        "d",
+        (F.col("s1") / F.col("n")).alias("mean_d"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")).alias(
+            "var_d"
+        ),
+    )
+
+
+@query("q196_embedding_variance_spectrum", oracle=_Q196_ORACLE, tags=("vector", "spectral", "EXT"))
+def q196_embedding_variance_spectrum(spark, sf_dir):
+    """Per-dimension mean and population variance of the quantized
+    embedding corpus — the covariance diagonal, i.e. the input to
+    feature scaling and the trace side of the q197 eigensolve gate.
+    One explode + one 64-key groupBy; sums are decimal-exact, the
+    mean/variance arithmetic a fixed IEEE double expression both
+    engines evaluate identically."""
+    return _variance_frame(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q197: PCA eigensolve gate — trace/Frobenius/Eckart-Young identities
+# over the driver-side eigh of the distributed float Gram.
+# --------------------------------------------------------------------------
+
+_Q197_R = 8  # reconstruction rank for the Eckart-Young gate
+
+_Q197_ORACLE = f"""
+WITH ex AS (
+  SELECT CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(14,4)) AS x,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+s AS (
+  SELECT d,
+         CAST(CAST(CAST(SUM(x) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(CAST(SUM(x * x) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS s2,
+         COUNT(*) AS n
+  FROM ex GROUP BY d
+),
+v AS (SELECT n, (s2 - s1 * s1 / n) / n AS var_d FROM s)
+SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+       CAST({_DIM} AS BIGINT) AS dim,
+       CAST(CAST(CAST(SUM(CAST(ROUND(var_d, 12) AS DECIMAL(26,12))) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS trace_var,
+       'ok' AS spectrum_ok, 'ok' AS recon_ok
+FROM v
+"""
+
+
+@query("q197_pca_spectrum_gate", oracle=_Q197_ORACLE, tags=("vector", "spectral", "gate", "EXT"))
+def q197_pca_spectrum_gate(spark, sf_dir):
+    """PCA over the embedding corpus, accepted only through its
+    conservation laws. The pipeline: one ``mapInPandas`` pass
+    accumulates the float64 Gram + component sums (d*d + d numbers to
+    the driver), ``numpy.linalg.eigh`` solves the 64 x 64 mean-centered
+    covariance, and THREE identities gate the result —
+
+      sum(eigenvalues)    == trace(C)   (and trace matches the
+                                         decimal-exact SQL twin)
+      sum(eigenvalues^2)  == ||C||_F^2
+      corpus mean residual at rank r == sum of dropped eigenvalues
+                                        (Eckart-Young, measured by a
+                                         second map-only pass)
+
+    ``trace_var`` itself is decimal-disciplined, so the oracle
+    hash-matches it; a broken Gram, transposed eigenvectors, or wrong
+    centering flips a gate to a diagnostic string and fails the hash.
+    The eigenvalues/eigenvectors stay driver-side (no SQL engine can
+    reproduce them) — their downstream use is whitening/projection,
+    validated here once."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        S.quantized_double("embedding").alias("embedding")
+    )
+    g, s, n = S.moments(emb, "embedding")
+    w, v, mu = S.eigh_covariance(g, s, n)
+    cov = g / n - np.outer(s / n, s / n)
+    tr_ok, fr_ok = S.spectrum_gates(w, float(np.trace(cov)), float((cov * cov).sum()))
+
+    trace_row = (
+        _variance_frame(spark, sf_dir)
+        .agg(
+            F.sum(F.round(F.col("var_d"), 12).cast("decimal(26,12)"))
+            .cast("decimal(38,12)")
+            .cast("string")
+            .cast("double")
+            .alias("t")
+        )
+        .first()
+    )
+    trace_dec = float(trace_row["t"])
+    dec_ok = abs(float(np.trace(cov)) - trace_dec) <= 1e-6 * max(trace_dec, 1e-12)
+
+    mse = S.reconstruction_mse(emb, v[:, :_Q197_R], mu, "embedding")
+    dropped = float(w[_Q197_R:].sum())
+    recon_ok = abs(mse - dropped) <= 1e-6 * max(dropped, 1e-12)
+
+    spectrum_msg = (
+        "ok"
+        if (tr_ok and fr_ok and dec_ok)
+        else f"FAIL tr={tr_ok} fr={fr_ok} dec={dec_ok}"
+    )
+    recon_msg = "ok" if recon_ok else f"FAIL mse={mse:.3e} dropped={dropped:.3e}"
+    return spark.createDataFrame(
+        [(n, _DIM, trace_dec, spectrum_msg, recon_msg)],
+        schema="n_vectors long, dim long, trace_var double, spectrum_ok string, recon_ok string",
+    )
+
+
+# --------------------------------------------------------------------------
+# q198: Bloom-filter eval-set decontamination — membership filtering
+# of the big side with zero shuffle, gated on the exact semi-join.
+# --------------------------------------------------------------------------
+
+_Q198_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT md5(text) AS key FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) < '0a'
+),
+tr AS (
+  SELECT doc_id, md5(text) AS key FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) >= '0a'
+)
+SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_train,
+       CAST((SELECT COUNT(*) FROM documents
+             WHERE md5(CAST(doc_id AS VARCHAR)) < '0a') AS BIGINT) AS n_eval,
+       CAST((SELECT COUNT(*) FROM tr WHERE key IN (SELECT key FROM ev)) AS BIGINT)
+         AS n_contam,
+       'ok' AS fn_gate, 'ok' AS fp_gate
+"""
+
+
+@query("q198_bloom_decontaminate", oracle=_Q198_ORACLE, tags=("text", "dedup", "gate", "EXT"))
+def q198_bloom_decontaminate(spark, sf_dir):
+    """Eval-set decontamination through a broadcast Bloom filter: the
+    (bounded) eval split builds an m-bit filter over md5(text) keys
+    (m = 32 bits/key, k = 4 — analytic FP ~2e-4), and the training
+    corpus is probed MAP-ONLY against the broadcast bitset — the 100 TB
+    side never shuffles, which is the whole point vs q175's exact
+    span join. Gates pin the two provable properties: a Bloom filter
+    admits NO false negatives (every exactly-contaminated doc must be
+    flagged — checked against the exact semi-join on this corpus), and
+    the FP overshoot stays under a generous multiple of the analytic
+    bound. n_train/n_eval/n_contam are exact and hash-matched; the
+    flagged count is filter-parameter-dependent and appears only
+    through the gates."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("key"),
+        (
+            F.md5(F.col("doc_id").cast("string").cast("binary")) < F.lit("0a")
+        ).alias("is_eval"),
+    )
+    eval_keys = docs.where("is_eval").select("key").distinct()
+    n_eval = docs.where("is_eval").count()
+    n_eval_keys = eval_keys.count()
+    m = B.bloom_bits(n_eval_keys)
+    bits = B.bloom_build(eval_keys, "key", m)
+
+    train = docs.where(~F.col("is_eval")).select("doc_id", "key")
+    probed = B.bloom_probe(train, "key", bits, m)
+    stats = (
+        probed.join(
+            F.broadcast(eval_keys.withColumn("in_eval", F.lit(True))), "key", "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.coalesce(
+                F.sum(F.when(F.col("in_eval"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_contam"),
+            F.coalesce(
+                F.sum(F.when(F.col("maybe_member"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_flagged"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("in_eval") & ~F.col("maybe_member"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_missed"),
+        )
+        .first()
+    )
+    n_train = int(stats["n_train"])
+    n_contam = int(stats["n_contam"])
+    n_fp = int(stats["n_flagged"]) - n_contam
+    fn_gate = "ok" if int(stats["n_missed"]) == 0 else f"FAIL missed={stats['n_missed']}"
+    fp_bound = max(5, (n_train + 99) // 100)
+    fp_gate = "ok" if n_fp <= fp_bound else f"FAIL fp={n_fp} bound={fp_bound}"
+    return spark.createDataFrame(
+        [(n_train, n_eval, n_contam, fn_gate, fp_gate)],
+        schema="n_train long, n_eval long, n_contam long, fn_gate string, fp_gate string",
+    )
