@@ -85,6 +85,59 @@ def bloom_build(keys: DataFrame, key_col: str, m: int) -> bytes:
     return acc.tobytes()
 
 
+def bits_to_words(spark, bits: bytes, m: int, epoch: int) -> DataFrame:
+    """Bitset -> sparse (epoch, word_id, word) rows of the NONZERO
+    64-bit words — the persisted form. Sparse because a fresh epoch's
+    delta touches only the words its batch set; parquet + dictionary
+    encoding then stores a near-empty filter in a few KB."""
+    words = np.frombuffer(bits, dtype="<u8")
+    nz = np.flatnonzero(words)
+    signed = words.astype(np.int64)  # two's-complement wrap, lossless
+    rows = [(int(epoch), int(i), int(signed[i])) for i in nz]
+    return spark.createDataFrame(
+        rows or [], schema="epoch int, word_id long, word long"
+    )
+
+
+def words_to_bits(rows, m: int) -> bytes:
+    """OR a collected iterable of (word_id, word) rows back into an
+    m-bit set — the reader-side chain merge: epochs are unioned, words
+    with the same word_id OR together (BIT_OR in the scan), so reading
+    N epochs costs one scan of the sparse words, never a rebuild."""
+    acc = np.zeros(m // 64, dtype=np.int64)  # OR is sign-agnostic
+    for r in rows:
+        acc[r["word_id"]] |= np.int64(r["word"])
+    return acc.tobytes()
+
+
+def bloom_snapshot_write(spark, bits: bytes, m: int, epoch: int, path: str) -> None:
+    """Append one epoch partition of sparse filter words. Partitioned
+    by epoch with dynamic overwrite, so replaying a batch rewrites ONLY
+    its own epoch — the same idempotence contract as the corpus
+    snapshot store (operators/corpus_snapshot.py)."""
+    (
+        bits_to_words(spark, bits, m, epoch)
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(path)
+    )
+
+
+def bloom_snapshot_read(spark, path: str, m: int) -> bytes:
+    """Merge every persisted epoch into the live bitset: BIT_OR per
+    word_id in the scan (a 1-word-per-group aggregate over the sparse
+    words), then a bounded collect of <= m/64 rows."""
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("word_id")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .collect()
+    )
+    return words_to_bits(merged, m)
+
+
 def bloom_probe(
     df: DataFrame, key_col: str, bits: bytes, m: int, out_col: str = "maybe_member"
 ) -> DataFrame:

@@ -214,6 +214,90 @@ def q197_pca_spectrum_gate(spark, sf_dir):
 # of the big side with zero shuffle, gated on the exact semi-join.
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# q200: embedding outliers — distance-to-centroid ranking, the
+# embedding-space quality filter (mislabeled / degenerate vectors).
+# --------------------------------------------------------------------------
+
+_Q200_TOP = 20
+
+_Q200_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, label,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(14,4)) AS x,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+mu AS (
+  SELECT label, d,
+         CAST(CAST(CAST(SUM(x) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM ex GROUP BY label, d
+),
+d2 AS (
+  SELECT ex.vec_id, ex.label,
+         CAST(CAST(CAST(SUM(CAST(ROUND((CAST(ex.x AS DOUBLE) - mu.mu) * (CAST(ex.x AS DOUBLE) - mu.mu), 12) AS DECIMAL(26,12))) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS dist_sq
+  FROM ex JOIN mu ON mu.label = ex.label AND mu.d = ex.d
+  GROUP BY ex.vec_id, ex.label
+)
+SELECT * FROM (
+  SELECT vec_id, CAST(label AS INT) AS label, dist_sq,
+         ROW_NUMBER() OVER (ORDER BY dist_sq DESC, vec_id) AS rnk
+  FROM d2
+) WHERE rnk <= {_Q200_TOP}
+"""
+
+
+@query("q200_embedding_outliers", oracle=_Q200_ORACLE, tags=("vector", "spectral", "EXT"))
+def q200_embedding_outliers(spark, sf_dir):
+    """Top-{k} embedding outliers by squared distance to the per-label
+    centroid — the quality filter that catches mislabeled or
+    degenerate vectors before they enter a training mix. Centroids are
+    a 640-row aggregate (labels x dims) broadcast back onto the
+    exploded corpus; per-vector distances are decimal-disciplined
+    (quantized components, 12dp-rounded squared deviations summed as
+    decimals) so the oracle hash-matches every distance, and the final
+    top-k is a TakeOrdered with vec_id tiebreak. Scale: explode + one
+    vec_id-keyed aggregate, both linear; the centroid join is a
+    broadcast. (A zip_with fold against a literal centroid array would
+    skip the explode; the explode form keeps the arithmetic identical
+    to the SQL twin.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(S.quantized("embedding")).alias("d", "x")
+    )
+    mu = ex.groupBy("label", "d").agg(
+        (
+            F.sum("x").cast("decimal(38,8)").cast("string").cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    dev = F.col("x").cast("double") - F.col("mu")
+    d2 = (
+        ex.join(F.broadcast(mu), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(dev * dev, 12).cast("decimal(26,12)"))
+            .cast("decimal(38,12)")
+            .cast("string")
+            .cast("double")
+            .alias("dist_sq")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("dist_sq"), F.asc("vec_id"))
+    return (
+        d2.select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            "dist_sq",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= _Q200_TOP)
+    )
+
+
 _Q198_ORACLE = """
 WITH ev AS (
   SELECT DISTINCT md5(text) AS key FROM documents
@@ -291,4 +375,91 @@ def q198_bloom_decontaminate(spark, sf_dir):
     return spark.createDataFrame(
         [(n_train, n_eval, n_contam, fn_gate, fp_gate)],
         schema="n_train long, n_eval long, n_contam long, fn_gate string, fp_gate string",
+    )
+
+
+# --------------------------------------------------------------------------
+# q202: persisted Bloom snapshot lifecycle — the filter as epoch-
+# partitioned data, refreshed incrementally, chain-read ≡ one-shot.
+# --------------------------------------------------------------------------
+
+_Q202_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT md5(text) AS key FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) < '0a'
+),
+tr AS (
+  SELECT doc_id, md5(text) AS key FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) >= '0a'
+)
+SELECT CAST(2 AS BIGINT) AS n_epochs,
+       CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_eval_keys,
+       CAST((SELECT COUNT(*) FROM tr WHERE key IN (SELECT key FROM ev)) AS BIGINT)
+         AS n_contam,
+       'ok' AS chain_gate, 'ok' AS flags_gate
+"""
+
+
+@query("q202_bloom_snapshot_lifecycle", oracle=_Q202_ORACLE, tags=("text", "privacy", "gate", "EXT"))
+def q202_bloom_snapshot_lifecycle(spark, sf_dir):
+    """The Bloom filter as a PERSISTED, incrementally-refreshed
+    snapshot: eval keys arrive in two batches, each written as one
+    epoch partition of sparse nonzero 64-bit words (dynamic-partition
+    overwrite — replaying a batch rewrites only its own epoch, the
+    corpus-snapshot idempotence contract). The reader merges the
+    chain with a per-word BIT_OR in the scan. Gates: the chain-read
+    bitset must equal the one-shot filter over the union BYTE FOR BYTE
+    (both paths are deterministic xxhash64 — any divergence is an
+    implementation bug), and probing the corpus through the chain
+    filter must flag the same rows as the one-shot filter. m is sized
+    from planned capacity (the full eval count), the real-world
+    contract for a filter that grows by deltas. n_eval_keys/n_contam
+    are exact and hash-matched."""
+    from ..scratch import scratch_dir
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("key"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("split"),
+    )
+    ev = docs.where(F.col("split") < "0a")
+    batch_a = ev.where(F.col("split") < "05").select("key").distinct()
+    batch_b = ev.where(F.col("split") >= "05").select("key").distinct()
+    all_keys = ev.select("key").distinct()
+    n_eval_keys = all_keys.count()
+    m = B.bloom_bits(n_eval_keys)  # planned capacity, shared by both paths
+
+    path = scratch_dir("q202_bloom_snapshot_")
+    B.bloom_snapshot_write(spark, B.bloom_build(batch_a, "key", m), m, 0, path)
+    B.bloom_snapshot_write(spark, B.bloom_build(batch_b, "key", m), m, 1, path)
+    chain_bits = B.bloom_snapshot_read(spark, path, m)
+    oneshot_bits = B.bloom_build(all_keys, "key", m)
+    chain_gate = "ok" if chain_bits == oneshot_bits else "FAIL bitset divergence"
+
+    train = docs.where(F.col("split") >= "0a").select("doc_id", "key")
+    flags = (
+        B.bloom_probe(train, "key", chain_bits, m, "chain_flag")
+        .join(
+            B.bloom_probe(train, "key", oneshot_bits, m, "oneshot_flag").select(
+                "doc_id", "oneshot_flag"
+            ),
+            "doc_id",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("chain_flag") != F.col("oneshot_flag"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_diverged")
+        )
+        .first()
+    )
+    flags_gate = (
+        "ok" if int(flags["n_diverged"]) == 0 else f"FAIL diverged={flags['n_diverged']}"
+    )
+    n_contam = train.join(F.broadcast(all_keys), "key", "left_semi").count()
+    return spark.createDataFrame(
+        [(2, n_eval_keys, n_contam, chain_gate, flags_gate)],
+        schema="n_epochs long, n_eval_keys long, n_contam long, chain_gate string, flags_gate string",
     )

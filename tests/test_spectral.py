@@ -100,3 +100,32 @@ def test_bloom_probe_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_bloom_words_roundtrip_high_bit(spark):
+    """Sparse word encoding must survive the int64 two's-complement
+    hop, including words with bit 63 set."""
+    m = B.MIN_BITS
+    bits = bytearray(m // 8)
+    bits[7] = 0x80  # word 0, bit 63
+    bits[8] = 0x01  # word 1, bit 0
+    bits[-1] = 0xFF  # last word, top byte
+    bits = bytes(bits)
+    words = B.bits_to_words(spark, bits, m, epoch=3)
+    rows = words.collect()
+    assert {r["epoch"] for r in rows} == {3}
+    assert B.words_to_bits(rows, m) == bits
+
+
+def test_bloom_snapshot_chain_equals_oneshot(spark, tmp_path):
+    a = spark.range(0, 300).select(F.col("id").cast("string").alias("key"))
+    b = spark.range(300, 700).select(F.col("id").cast("string").alias("key"))
+    both = spark.range(0, 700).select(F.col("id").cast("string").alias("key"))
+    m = B.bloom_bits(700)
+    path = str(tmp_path / "bloom_snap")
+    B.bloom_snapshot_write(spark, B.bloom_build(a, "key", m), m, 0, path)
+    B.bloom_snapshot_write(spark, B.bloom_build(b, "key", m), m, 1, path)
+    assert B.bloom_snapshot_read(spark, path, m) == B.bloom_build(both, "key", m)
+    # replaying epoch 1 (idempotent overwrite) must not change the chain
+    B.bloom_snapshot_write(spark, B.bloom_build(b, "key", m), m, 1, path)
+    assert B.bloom_snapshot_read(spark, path, m) == B.bloom_build(both, "key", m)
