@@ -40,5 +40,6 @@ from . import jobs  # noqa: F401
 from . import planning  # noqa: F401
 from . import spectral  # noqa: F401
 from . import privacy  # noqa: F401
+from . import monitor  # noqa: F401
 from . import corpus  # noqa: F401
 from . import curation  # noqa: F401
