@@ -463,3 +463,116 @@ def q202_bloom_snapshot_lifecycle(spark, sf_dir):
         [(2, n_eval_keys, n_contam, chain_gate, flags_gate)],
         schema="n_epochs long, n_eval_keys long, n_contam long, chain_gate string, flags_gate string",
     )
+
+
+# --------------------------------------------------------------------------
+# q206: streaming Bloom ingest — eval keys arrive as micro-batches,
+# each foreachBatch writes one filter epoch; drained chain ≡ one-shot.
+# --------------------------------------------------------------------------
+
+_Q206_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT md5(text) AS key FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) < '0a'
+),
+tr AS (
+  SELECT doc_id, md5(text) AS key FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) >= '0a'
+)
+SELECT CAST(3 AS BIGINT) AS n_batches,
+       CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_eval_keys,
+       CAST((SELECT COUNT(*) FROM tr WHERE key IN (SELECT key FROM ev)) AS BIGINT)
+         AS n_contam,
+       'ok' AS chain_gate, 'ok' AS flags_gate
+"""
+
+
+@query("q206_bloom_stream_ingest", oracle=_Q206_ORACLE, tags=("text", "privacy", "streaming", "gate", "EXT"))
+def q206_bloom_stream_ingest(spark, sf_dir):
+    """The q202 filter lifecycle driven through REAL Structured
+    Streaming (the q161 pattern): eval keys arrive as three parquet
+    files consumed one per micro-batch (maxFilesPerTrigger=1), and
+    each foreachBatch invocation builds that batch's bitset and writes
+    it as filter epoch = batch id — idempotent dynamic-partition
+    overwrite, so a replayed batch rewrites only its own epoch
+    (exactly-once, T9's contract). After the stream drains, the
+    BIT_OR chain-read must equal the one-shot filter over all keys
+    byte for byte, and corpus probes through both must agree row for
+    row. m is sized once from planned capacity, since a Bloom filter
+    cannot grow in place. n_eval_keys/n_contam are exact and
+    hash-matched."""
+    import os as _os
+
+    from ..scratch import scratch_dir
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("key"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("split"),
+    )
+    ev = docs.where(F.col("split") < "0a")
+    all_keys = ev.select("key").distinct()
+    n_eval_keys = all_keys.count()
+    m = B.bloom_bits(n_eval_keys)
+
+    feed_dir = scratch_dir("q206_feed_")
+    for i in range(3):
+        (
+            ev.where(F.col("doc_id") % 3 == i)
+            .select("key")
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(feed_dir, f"batch_{i}"))
+        )
+
+    snap_dir = scratch_dir("q206_bloom_snap_")
+
+    def fold(batch_df, epoch_id):
+        B.bloom_snapshot_write(
+            spark,
+            B.bloom_build(batch_df.select("key"), "key", m),
+            m,
+            int(epoch_id),
+            snap_dir,
+        )
+
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_os.path.join(feed_dir, "batch_*"))
+    )
+    chk = scratch_dir("q206_chk_")
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    chain_bits = B.bloom_snapshot_read(spark, snap_dir, m)
+    oneshot_bits = B.bloom_build(all_keys, "key", m)
+    chain_gate = "ok" if chain_bits == oneshot_bits else "FAIL bitset divergence"
+
+    train = docs.where(F.col("split") >= "0a").select("doc_id", "key")
+    diverged = (
+        B.bloom_probe(train, "key", chain_bits, m, "chain_flag")
+        .join(
+            B.bloom_probe(train, "key", oneshot_bits, m, "oneshot_flag").select(
+                "doc_id", "oneshot_flag"
+            ),
+            "doc_id",
+        )
+        .where(F.col("chain_flag") != F.col("oneshot_flag"))
+        .count()
+    )
+    flags_gate = "ok" if diverged == 0 else f"FAIL diverged={diverged}"
+    n_contam = train.join(F.broadcast(all_keys), "key", "left_semi").count()
+    return spark.createDataFrame(
+        [(3, n_eval_keys, n_contam, chain_gate, flags_gate)],
+        schema="n_batches long, n_eval_keys long, n_contam long, chain_gate string, flags_gate string",
+    )
