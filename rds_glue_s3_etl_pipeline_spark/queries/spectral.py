@@ -627,3 +627,53 @@ def q207_whitening_gate(spark, sf_dir):
         [(n, rank, identity_gate, decorrelation_gate)],
         schema="n_vectors long, rank long, identity_gate string, decorrelation_gate string",
     )
+
+
+# --------------------------------------------------------------------------
+# q208: incremental Gram — second moments as an epoch-partitioned,
+# exactly-mergeable snapshot. Decimal partials make the chain-read
+# EQUAL the one-shot Gram, so q195's oracle hash-checks the whole
+# incremental mechanism.
+# --------------------------------------------------------------------------
+
+
+@query("q208_gram_incremental", oracle=_Q195_ORACLE, tags=("vector", "spectral", "EXT"))
+def q208_gram_incremental(spark, sf_dir):
+    """Covariance statistics that UPDATE as the corpus grows: each
+    ingest batch writes its own decimal-exact Gram partial as one
+    epoch partition (idempotent dynamic overwrite — the corpus-
+    snapshot contract), and the reader sums partials per (i, j) to
+    recover the corpus Gram. Because the partials are exact decimals,
+    merge order cannot matter: the chain-read equals the one-shot
+    q195 Gram BIT FOR BIT, which is why this query can reuse q195's
+    hash-matched oracle verbatim — the strongest possible check of an
+    incremental-statistics mechanism. Feed the merged result to
+    eigh_covariance (q197) and PCA/whitening stays current without
+    ever rescanning history: per batch, the write is 2,080 rows no
+    matter the batch or corpus size."""
+    from ..scratch import scratch_dir
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = scratch_dir("q208_gram_epochs_")
+    for epoch in (0, 1):
+        part = S.gram_exact(emb.where(F.col("vec_id") % 2 == epoch), "embedding")
+        (
+            part.withColumn("epoch", F.lit(epoch))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("g").cast("decimal(38,8)"))
+            .cast("decimal(38,8)")
+            .cast("string")
+            .cast("double")
+            .alias("g")
+        )
+    )
+    return merged.select("i", "j", "g")
