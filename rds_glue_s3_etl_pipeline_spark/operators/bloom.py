@@ -23,6 +23,17 @@ a 10M-doc eval set is a 40 MB broadcast, well inside executor budget;
 per-partition build partials are the same m/8 bytes and combine by
 bitwise OR on the driver (#partitions rows of m/8 bytes — for the
 small build side only, never the corpus).
+
+When to use WHICH zero-shuffle path (measured at the 100x fixture,
+480k corpus rows / 19.4k eval keys): a broadcast LEFT SEMI join is
+exact AND faster (0.27s vs 0.71s probe) as long as the eval hash
+relation broadcasts — md5-string keys cost ~100+ bytes/key in the
+relation vs 4 bytes/key here, so the Bloom path earns its FP rate
+only once the eval set outgrows broadcastability (~10M keys: 40 MB
+bitset vs a ~1-2 GB relation that would force the corpus into a
+shuffle). Below that, prefer the broadcast semi-join; the snapshot
+machinery (epochs, BIT_OR chain, streaming ingest) applies to the
+bitset either way.
 """
 
 from __future__ import annotations
