@@ -141,3 +141,57 @@ def test_whiten_decorrelates(spark, small_vectors):
     cov_w = gw / nw - np.outer(sw / nw, sw / nw)
     assert np.abs(np.diag(cov_w) - 1.0).max() < 1e-8
     assert np.abs(cov_w - np.diag(np.diag(cov_w))).max() < 1e-8
+
+
+def test_whiten_drops_degenerate_dimension(spark):
+    """A constant component has zero variance: the whitening projector
+    must drop it (rank d-1) and still decorrelate the kept subspace."""
+    rng = np.random.RandomState(11)
+    x = rng.randn(150, 4).astype(np.float64) * 0.2
+    x[:, 2] = 0.75  # constant -> zero variance
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dfq = df.select(S.quantized_double("embedding").alias("embedding"))
+    g, s, n = S.moments(dfq, "embedding")
+    w, v, mu = S.eigh_covariance(g, s, n)
+    white = S.whiten(dfq, v, w, mu, "embedding", eps=1e-9)
+    first = white.first()["white"]
+    assert len(first) == 3  # rank-deficient: 4 dims in, 3 out
+    gw, sw, nw = S.moments(white, "white")
+    cov_w = gw / nw - np.outer(sw / nw, sw / nw)
+    assert np.abs(np.diag(cov_w) - 1.0).max() < 1e-8
+    assert np.abs(cov_w - np.diag(np.diag(cov_w))).max() < 1e-8
+
+
+def test_gram_exact_property(spark):
+    """Hypothesis-style differential property over random corpora:
+    for arbitrary shapes and magnitudes, gram_exact == numpy gram of
+    the quantized values, exactly (decimal arithmetic is exact)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=40),
+        d=st.integers(min_value=1, max_value=8),
+        seed=st.integers(min_value=0, max_value=2**16),
+        scale=st.sampled_from([0.01, 1.0, 100.0]),
+    )
+    def check(n, d, seed, scale):
+        rng = np.random.RandomState(seed)
+        x = (rng.randn(n, d) * scale).astype(np.float32)
+        rows = [([float(v) for v in x[i]],) for i in range(n)]
+        df = spark.createDataFrame(rows, "embedding array<float>")
+        q = np.round(x.astype(np.float64), 4)
+        got = {
+            (r["i"], r["j"]): r["g"]
+            for r in S.gram_exact(df, "embedding").collect()
+        }
+        expected = q.T @ q
+        assert len(got) == d * (d + 1) // 2
+        for i in range(d):
+            for j in range(i, d):
+                assert got[(i, j)] == pytest.approx(
+                    expected[i, j], rel=1e-12, abs=1e-9
+                )
+
+    check()
