@@ -13,16 +13,20 @@ The oracle contract (q198) is built on that asymmetry: the
 no-false-negative set relation and the exact contamination count are
 SQL-checkable; the FP overshoot is gated against the analytic bound.
 
-Hashing is JVM-side ``xxhash64(key, seed_i) mod m`` on BOTH the build
-and probe sides — the pandas stage only sets/tests bits, so there is
-no python-vs-JVM hash mismatch to drift.
+Hashing is JVM-side on BOTH the build and probe sides: position i is
+``xxhash64(key, i) mod m`` for i in 0..k-1 — Spark's xxhash64 uses its
+fixed engine seed (42) and hashes the literal ``i`` as an additional
+column, NOT as the hash seed. The pandas stage only sets/tests bits,
+so there is no python-vs-JVM hash mismatch to drift; anyone
+reimplementing a prober derives bit positions from that exact
+(key, i) column-hash contract.
 
 Sizing: ``m = 32 bits/key`` (next power of two), ``k = 4`` →
 theoretical FP ≈ (1 - e^(-k·n/m))^k ≈ 2e-4. Memory: 4 bytes/key —
 a 10M-doc eval set is a 40 MB broadcast, well inside executor budget;
-per-partition build partials are the same m/8 bytes and combine by
-bitwise OR on the driver (#partitions rows of m/8 bytes — for the
-small build side only, never the corpus).
+per-partition build partials are the same m/8 bytes and tree-reduce
+through a repartition(1) OR stage, so the driver receives ONE m/8-byte
+row (for the small build side only, never the corpus).
 
 When to use WHICH zero-shuffle path (measured at the 100x fixture,
 480k corpus rows / 19.4k eval keys): a broadcast LEFT SEMI join is
@@ -60,8 +64,9 @@ def bloom_bits(n_keys: int) -> int:
 
 
 def _positions(key: Column, m: int) -> Column:
-    """k bit positions for a key: xxhash64(key, seed) mod m, seeds
-    0..k-1 — deterministic, computed by the JVM on build AND probe."""
+    """k bit positions for a key: xxhash64 over the column pair
+    (key, i) for i in 0..k-1 (fixed engine seed), mod m —
+    deterministic, computed by the JVM on build AND probe."""
     return F.array(
         *[
             F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)).cast("long")
@@ -72,9 +77,12 @@ def _positions(key: Column, m: int) -> Column:
 
 def bloom_build(keys: DataFrame, key_col: str, m: int) -> bytes:
     """Build the m-bit filter over ``keys[key_col]``. Per-partition
-    numpy bitsets (m/8 bytes each) come back one row per non-empty
-    partition and OR together on the driver — the collect is bounded
-    by #partitions * m/8 bytes of the SMALL side, never by row count."""
+    numpy bitsets (m/8 bytes each) are tree-reduced: a repartition(1)
+    shuffle boundary (so the build stage stays parallel — coalesce(1)
+    would pipeline it onto one core) ships the #partitions partials
+    executor-to-executor and a second OR stage folds them, so the
+    driver collects exactly ONE m/8-byte row regardless of how many
+    partitions the key side has."""
     pos_df = keys.select(_positions(F.col(key_col), m).alias("ps"))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,7 +97,22 @@ def bloom_build(keys: DataFrame, key_col: str, m: int) -> bytes:
         if any_rows:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    rows = pos_df.mapInPandas(build, schema="bits binary").collect()
+    def or_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(m // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            for b in pdf["bits"]:
+                any_rows = True
+                acc |= np.frombuffer(b, dtype=np.uint8)
+        if any_rows:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    rows = (
+        pos_df.mapInPandas(build, schema="bits binary")
+        .repartition(1)
+        .mapInPandas(or_fold, schema="bits binary")
+        .collect()
+    )
     acc = np.zeros(m // 8, dtype=np.uint8)
     for r in rows:
         acc |= np.frombuffer(r["bits"], dtype=np.uint8)
@@ -100,24 +123,43 @@ def bits_to_words(spark, bits: bytes, m: int, epoch: int) -> DataFrame:
     """Bitset -> sparse (epoch, word_id, word) rows of the NONZERO
     64-bit words — the persisted form. Sparse because a fresh epoch's
     delta touches only the words its batch set; parquet + dictionary
-    encoding then stores a near-empty filter in a few KB."""
+    encoding then stores a near-empty filter in a few KB. Built as a
+    pandas frame (Arrow path) — for a 10M-key filter the nonzero words
+    are ~m/64 ≈ 5M rows, which a Python tuple loop would spend seconds
+    boxing."""
     words = np.frombuffer(bits, dtype="<u8")
     nz = np.flatnonzero(words)
-    signed = words.astype(np.int64)  # two's-complement wrap, lossless
-    rows = [(int(epoch), int(i), int(signed[i])) for i in nz]
-    return spark.createDataFrame(
-        rows or [], schema="epoch int, word_id long, word long"
+    if len(nz) == 0:
+        return spark.createDataFrame([], schema="epoch int, word_id long, word long")
+    pdf = pd.DataFrame(
+        {
+            "epoch": np.full(len(nz), epoch, dtype=np.int32),
+            "word_id": nz.astype(np.int64),
+            # reinterpret uint64 as two's-complement int64, lossless
+            "word": words[nz].view(np.int64),
+        }
     )
+    return spark.createDataFrame(pdf, schema="epoch int, word_id long, word long")
 
 
 def words_to_bits(rows, m: int) -> bytes:
-    """OR a collected iterable of (word_id, word) rows back into an
-    m-bit set — the reader-side chain merge: epochs are unioned, words
-    with the same word_id OR together (BIT_OR in the scan), so reading
-    N epochs costs one scan of the sparse words, never a rebuild."""
+    """OR an iterable of (word_id, word) rows (or a pandas frame with
+    those columns) back into an m-bit set — the reader-side chain
+    merge: epochs are unioned, words with the same word_id OR together
+    (BIT_OR in the scan), so reading N epochs costs one scan of the
+    sparse words, never a rebuild. The merge itself is vectorized
+    (np.bitwise_or.at) — at 10M keys the word table is ~5M rows, where
+    a per-row Python loop is the bottleneck the Bloom path exists to
+    avoid."""
     acc = np.zeros(m // 64, dtype=np.int64)  # OR is sign-agnostic
-    for r in rows:
-        acc[r["word_id"]] |= np.int64(r["word"])
+    if isinstance(rows, pd.DataFrame):
+        wid = rows["word_id"].to_numpy(dtype=np.int64)
+        wrd = rows["word"].to_numpy(dtype=np.int64)
+    else:
+        rows = list(rows)
+        wid = np.fromiter((r["word_id"] for r in rows), dtype=np.int64, count=len(rows))
+        wrd = np.fromiter((r["word"] for r in rows), dtype=np.int64, count=len(rows))
+    np.bitwise_or.at(acc, wid, wrd)
     return acc.tobytes()
 
 
@@ -125,10 +167,19 @@ def bloom_snapshot_write(spark, bits: bytes, m: int, epoch: int, path: str) -> N
     """Append one epoch partition of sparse filter words. Partitioned
     by epoch with dynamic overwrite, so replaying a batch rewrites ONLY
     its own epoch — the same idempotence contract as the corpus
-    snapshot store (operators/corpus_snapshot.py)."""
+    snapshot store (operators/corpus_snapshot.py). An EMPTY delta
+    writes a single sentinel zero word (word 0 ORs to nothing on read)
+    instead of zero rows: dynamic overwrite only touches partitions
+    present in the write, so a rowless frame would leave a replayed
+    epoch's stale words in place — and a first-ever empty write would
+    leave no parquet at the path at all."""
+    wdf = bits_to_words(spark, bits, m, epoch)
+    if wdf.isEmpty():
+        wdf = spark.createDataFrame(
+            [(int(epoch), 0, 0)], schema="epoch int, word_id long, word long"
+        )
     (
-        bits_to_words(spark, bits, m, epoch)
-        .repartition(1)
+        wdf.repartition(1)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch")
@@ -139,12 +190,13 @@ def bloom_snapshot_write(spark, bits: bytes, m: int, epoch: int, path: str) -> N
 def bloom_snapshot_read(spark, path: str, m: int) -> bytes:
     """Merge every persisted epoch into the live bitset: BIT_OR per
     word_id in the scan (a 1-word-per-group aggregate over the sparse
-    words), then a bounded collect of <= m/64 rows."""
+    words), then a bounded Arrow collect of <= m/64 rows merged
+    vectorized on the driver."""
     merged = (
         spark.read.parquet(path)
         .groupBy("word_id")
         .agg(F.expr("bit_or(word)").alias("word"))
-        .collect()
+        .toPandas()
     )
     return words_to_bits(merged, m)
 

@@ -49,3 +49,31 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     out = salted_big.join(salted_small, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+# Row gate for intentional broadcasts of derived maps (dup-cluster
+# assignments, survivor lists). 4M two-long rows is a ~100-200 MB
+# broadcast relation — comfortably inside a multi-GB executor but far
+# above autoBroadcastJoinThreshold, which is WHY these sites hint
+# explicitly. Above the gate the size argument ("the map is smaller
+# than the corpus by the dup rate") has empirically failed, so the
+# join falls back to a plain shuffled hash join instead of OOMing the
+# driver with a giant broadcast.
+BROADCAST_ROW_GATE = 4_000_000
+
+
+def gated_broadcast(df: DataFrame, max_rows: int = BROADCAST_ROW_GATE) -> DataFrame:
+    """``F.broadcast(df)`` if ``df`` has at most ``max_rows`` rows,
+    else ``df`` unchanged — enforcing a broadcast-size *argument*
+    instead of assuming it.
+
+    The probe is ``limit(max_rows + 1).count()``: CollectLimit stops
+    scanning once the cap is exceeded, so an over-size side pays a
+    bounded partial scan, never a full count. Callers should pass a
+    frame whose recompute lineage is short (checkpointed upstream, as
+    the star-contraction cluster maps are) since the probe executes a
+    separate job from the join itself.
+    """
+    if df.limit(max_rows + 1).count() <= max_rows:
+        return F.broadcast(df)
+    return df

@@ -75,7 +75,9 @@ def quantized_double(col) -> "F.Column":
     return F.transform(quantized(col), lambda x: x.cast("double"))
 
 
-def gram_exact(df: DataFrame, col: str = "embedding") -> DataFrame:
+def gram_exact(
+    df: DataFrame, col: str = "embedding", render: bool = True
+) -> DataFrame:
     """Upper-triangular Gram of the 4dp-quantized embeddings as
     (i, j, g) rows, i <= j, 0-based, decimal-exact and therefore
     order-independent: the one Gram form a SQL oracle can hash-match.
@@ -84,24 +86,29 @@ def gram_exact(df: DataFrame, col: str = "embedding") -> DataFrame:
     product rows, but the partial hash aggregate in the SAME stage
     collapses them onto the 2,080 (i, j) keys before the exchange —
     per-partition shuffle volume is constant in corpus size.
+
+    ``render=False`` keeps ``g`` as the exact DECIMAL(38,8) sum —
+    REQUIRED for anything that persists partials for a later merge
+    (q208's epoch snapshots): the double rendering holds only ~15-16
+    significant digits, so a partial beyond ~9e7 magnitude at 8dp
+    would silently lose exactness and the chain merge would diverge
+    from the one-shot Gram. Render to double exactly once, AFTER the
+    final merge.
     """
     q = df.select(quantized(col).alias("q"))
     left = q.select("q", F.posexplode("q").alias("i", "xi"))
     pairs = left.select(
         "i", "xi", F.posexplode("q").alias("j", "xj")
     ).where(F.col("j") >= F.col("i"))
-    return (
-        pairs.groupBy(
-            F.col("i").cast("long").alias("i"),
-            F.col("j").cast("long").alias("j"),
-        )
-        .agg(
-            F.sum(F.col("xi") * F.col("xj"))
-            .cast("string")
-            .cast("double")
-            .alias("g")
-        )
-    )
+    g = F.sum(F.col("xi") * F.col("xj"))
+    if render:
+        g = g.cast("string").cast("double")
+    else:
+        g = g.cast("decimal(38,8)")
+    return pairs.groupBy(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+    ).agg(g.alias("g"))
 
 
 def gram_fast(df: DataFrame, col: str = "embedding") -> DataFrame:
@@ -138,6 +145,11 @@ def moments(
     and Arrow-shipped the corpus twice for no reason; measured 2x on
     the 200k-vector fixture.)"""
     d_probe = df.select(F.size(F.col(col)).alias("d")).first()
+    if d_probe is None or d_probe["d"] is None:
+        # Empty (or all-null) corpus: fail loudly here rather than a
+        # TypeError on the dereference / ZeroDivisionError in
+        # eigh_covariance downstream (round-8 ADVICE).
+        raise ValueError("moments(): empty corpus — no embedding rows")
     dim = int(d_probe["d"])
     src = df.select(F.col(col).cast("array<double>").alias("v"))
 
@@ -176,6 +188,8 @@ def eigh_covariance(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Mean-centered covariance from raw moments, then ``eigh``.
     Returns (eigenvalues desc, eigenvectors as columns, mean)."""
+    if n <= 0:
+        raise ValueError("eigh_covariance(): n must be positive (empty corpus?)")
     mu = s / n
     cov = g / n - np.outer(mu, mu)
     w, v = np.linalg.eigh(cov)

@@ -151,10 +151,13 @@ def q124_dedup_keep_best(spark, sf_dir):
     diameter-independent — see operators/graph.py), and the survivor
     pick is a per-cluster window over clusters that are by
     construction small. The cluster map (only docs that HAVE a dup)
-    is explicitly broadcast into the docs join — it is smaller than
-    the corpus by the dup rate; if a corpus were majority-duplicate,
-    drop the hint and let AQE hash on doc_id.
+    is smaller than the corpus by the dup rate — but that argument is
+    ENFORCED, not assumed: gated_broadcast (operators/skew.py) counts
+    the map (bounded probe) and broadcasts only under the row gate; a
+    majority-duplicate corpus falls back to a shuffled hash join on
+    doc_id instead of a driver-killing broadcast.
     """
+    from ..operators.skew import gated_broadcast
     from .text import staged_near_dup_edges
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -162,7 +165,7 @@ def q124_dedup_keep_best(spark, sf_dir):
     cl = connected_components_star(edges, src="doc_a", dst="doc_b").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
-    assigned = docs.join(F.broadcast(cl), "doc_id", "left").select(
+    assigned = docs.join(gated_broadcast(cl), "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         "n_chars",

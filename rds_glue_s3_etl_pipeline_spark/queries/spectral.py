@@ -650,13 +650,20 @@ def q208_gram_incremental(spark, sf_dir):
     incremental-statistics mechanism. Feed the merged result to
     eigh_covariance (q197) and PCA/whitening stays current without
     ever rescanning history: per batch, the write is 2,080 rows no
-    matter the batch or corpus size."""
+    matter the batch or corpus size. The persisted partial is the
+    DECIMAL(38,8) itself (gram_exact render=False) — a double hop
+    would cap exactness at ~15-16 significant digits (~9e7 magnitude
+    at 8dp) and silently break the exact-merge contract on large
+    epochs; the double rendering happens exactly once, after the
+    chain merge (round-8 ADVICE)."""
     from ..scratch import scratch_dir
 
     emb = load(spark, sf_dir, "embeddings")
     path = scratch_dir("q208_gram_epochs_")
     for epoch in (0, 1):
-        part = S.gram_exact(emb.where(F.col("vec_id") % 2 == epoch), "embedding")
+        part = S.gram_exact(
+            emb.where(F.col("vec_id") % 2 == epoch), "embedding", render=False
+        )
         (
             part.withColumn("epoch", F.lit(epoch))
             .repartition(1)
@@ -669,7 +676,7 @@ def q208_gram_incremental(spark, sf_dir):
         spark.read.parquet(path)
         .groupBy("i", "j")
         .agg(
-            F.sum(F.col("g").cast("decimal(38,8)"))
+            F.sum("g")
             .cast("decimal(38,8)")
             .cast("string")
             .cast("double")

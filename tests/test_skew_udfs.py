@@ -97,3 +97,25 @@ def test_arrow_udf_digit_density_matches_builtin(spark):
         digit_density("text").alias("a")
     ).collect()
     assert empty[0]["a"] == 0.0
+
+
+def test_gated_broadcast_under_gate_hints(spark):
+    from rds_glue_s3_etl_pipeline_spark.operators.skew import gated_broadcast
+
+    small = spark.range(10).withColumnRenamed("id", "k")
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    joined = big.join(gated_broadcast(small, max_rows=100), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert joined.count() == 10
+
+
+def test_gated_broadcast_over_gate_falls_back(spark):
+    from rds_glue_s3_etl_pipeline_spark.operators.skew import gated_broadcast
+
+    side = spark.range(500).withColumnRenamed("id", "k")
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    gated = gated_broadcast(side, max_rows=100)
+    # no broadcast hint applied: the logical plan has no ResolvedHint
+    assert "ResolvedHint" not in gated._jdf.queryExecution().logical().toString()
+    assert big.join(gated, "k").count() == 500

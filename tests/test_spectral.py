@@ -131,6 +131,23 @@ def test_bloom_snapshot_chain_equals_oneshot(spark, tmp_path):
     assert B.bloom_snapshot_read(spark, path, m) == B.bloom_build(both, "key", m)
 
 
+def test_bloom_snapshot_empty_delta_replay(spark, tmp_path):
+    """Empty deltas keep the idempotent-replay contract (round-8
+    ADVICE): a first-ever empty write leaves a readable store, and
+    replaying an epoch with empty content CLEARS its stale words."""
+    a = spark.range(0, 100).select(F.col("id").cast("string").alias("key"))
+    m = B.bloom_bits(100)
+    zero = b"\x00" * (m // 8)
+    path = str(tmp_path / "bloom_empty")
+    B.bloom_snapshot_write(spark, zero, m, 0, path)
+    assert B.bloom_snapshot_read(spark, path, m) == zero
+    B.bloom_snapshot_write(spark, B.bloom_build(a, "key", m), m, 0, path)
+    assert B.bloom_snapshot_read(spark, path, m) == B.bloom_build(a, "key", m)
+    # replay epoch 0 with an empty delta: stale words must vanish
+    B.bloom_snapshot_write(spark, zero, m, 0, path)
+    assert B.bloom_snapshot_read(spark, path, m) == zero
+
+
 def test_whiten_decorrelates(spark, small_vectors):
     df, x = small_vectors
     dfq = df.select(S.quantized_double("embedding").alias("embedding"))
