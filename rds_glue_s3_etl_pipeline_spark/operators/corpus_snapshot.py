@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..streaming.ops import _write_epoch_partition
 from .graph import connected_components_star
+from .skew import gated_broadcast
 
 
 def write_snapshot_epoch(
@@ -249,14 +250,48 @@ def refresh_snapshot(
             )
     else:
         hist = hist.join(new_ids, "doc_id", "left_anti")
-    star = hist.filter(F.col("doc_id") != F.col("cluster_id")).select(
+    # BLAST-RADIUS re-clustering: only history clusters touched by the
+    # batch — an incident-edge endpoint or a re-ingested id — can change
+    # label or survivor; every other row is copied forward verbatim.
+    # Without this the refresh ran star-contraction over the WHOLE
+    # corpus's star graph per ingest batch (a full-corpus shuffle at
+    # 1e10 docs for a 1e7 batch); now the CC input is the batch's
+    # incident edges plus the member rows of the clusters they touch.
+    # Equivalence to the full recompute (oracle-checked in q159/q161/
+    # q168/q211): a component with no new edge and no removed member
+    # keeps exactly its old min-label and members, and any history doc
+    # with a new edge is a seed by construction, so untouched clusters
+    # truly have no new edges.
+    # Materialize the incident edges once — they feed both the seed
+    # derivation and the CC union, and recomputing the verify join
+    # twice would double the fold's dominant stage.
+    inc = new_incident_edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    seed_ids = (
+        inc.select(F.col("doc_a").alias("doc_id"))
+        .union(inc.select(F.col("doc_b").alias("doc_id")))
+        .union(new_ids)
+        .distinct()
+    )
+    # affected is blast-radius-bounded (#touched clusters <= #seed
+    # endpoints), but the bound is ENFORCED, not assumed.
+    affected = gated_broadcast(
+        hist.join(seed_ids, "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    touched = hist.join(affected, "cluster_id", "left_semi")
+    untouched = hist.join(affected, "cluster_id", "left_anti")
+    star = touched.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
     )
-    edges = new_incident_edges.select("doc_a", "doc_b").union(star)
-    docs = hist.select("doc_id", "n_chars").union(
+    edges = inc.union(star)
+    docs = touched.select("doc_id", "n_chars").union(
         new_docs.select("doc_id", "n_chars")
     )
-    state = assigned_table(docs, edges)
+    state = assigned_table(docs, edges).unionByName(
+        untouched.select("doc_id", "cluster_id", "n_chars")
+    )
     if mode == "full":
         write_snapshot_epoch(state, snapshot_dir, epoch_id)
         return

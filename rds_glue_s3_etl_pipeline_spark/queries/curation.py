@@ -471,13 +471,18 @@ def curation_verdict_snapshot(spark, sf_dir):
     quality, novelty) runs exactly once; q190 and q194 (and any future
     per-ingest dashboard) all read the same store, so the roll-up costs
     a scan + aggregate instead of a second full curation pass."""
+    from ..session import released_blocks
     from .corpus import _docs_fingerprint
 
     key = (os.path.abspath(sf_dir), _docs_fingerprint(sf_dir))
     cached = _VERDICT_CACHE.get(key)
     if cached is None or not os.path.isdir(cached):
         out = scratch_dir("curation_verdict_")
-        _q190_compute(spark, sf_dir).write.mode("overwrite").parquet(out)
+        # The gate DAG's checkpointed intermediates (shingle tables, CC
+        # rounds) die with the write — release their blocks instead of
+        # letting them squat in the memory pool until GC.
+        with released_blocks(spark):
+            _q190_compute(spark, sf_dir).write.mode("overwrite").parquet(out)
         _VERDICT_CACHE[key] = out
         cached = out
     return spark.read.parquet(cached)
@@ -497,7 +502,8 @@ def q190_curation_pipeline(spark, sf_dir):
     novelty one shingle df aggregate + hash join), composed with two
     hash joins on doc_id — the whole pipeline is a DAG of the already-
     proven pieces with no new shuffle shapes; the dup-cluster map
-    broadcast is count-gated (see _gated_broadcast). The verdict is
+    broadcast is count-gated (operators/skew.py gated_broadcast). The
+    verdict is
     materialized once per corpus via curation_verdict_snapshot, so
     downstream consumers (q194) pay a parquet scan, not a re-run."""
     return curation_verdict_snapshot(spark, sf_dir)

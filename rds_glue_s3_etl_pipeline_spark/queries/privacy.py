@@ -155,3 +155,112 @@ def q201_pseudonymize_ids(spark, sf_dir):
         .alias("collision_gate")
     )
     return joined.crossJoin(F.broadcast(gate))
+
+
+# --------------------------------------------------------------------------
+# q210: multi-class redaction — emails, URLs, long hex tokens, digit
+# runs, each with its own mask and its own removal accounting (the
+# first thing a privacy reviewer asks for beyond q199's digit runs).
+# Classes apply in a FIXED order (email -> url -> hex -> digit) and
+# each class is counted on the text as it stands after the previous
+# masks, so a digit run inside an email is attributed to the email
+# class, never double-counted. The fixture corpus carries no organic
+# PII, so the input is a deterministic contact line synthesized from
+# customer fields — name serial, derived e-mail, order URL, md5 token
+# — which both engines construct identically.
+# --------------------------------------------------------------------------
+
+_RED_CLASSES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("url", r"https?://[^\s]+", "[URL]"),
+    ("hex", r"\b[0-9a-f]{16,}\b", "[HEX]"),
+    ("digit", r"[0-9]{6,}", "[NUM]"),
+)
+
+
+def _q210_oracle() -> str:
+    stages, prev = [], "t0"
+    for i, (cls, pat, mask) in enumerate(_RED_CLASSES):
+        cur = f"t{i + 1}"
+        esc_mask = mask.replace("[", "\\[")
+        src_cte = "src" if i == 0 else f"s{i - 1}"
+        stages.append(
+            f"s{i} AS (SELECT *,"
+            f" len(regexp_extract_all({prev}, '{pat}')) AS {cls}_n,"
+            f" length({prev}) - length(regexp_replace({prev}, '{pat}', '', 'g'))"
+            f"   AS {cls}_c,"
+            f" regexp_replace({prev}, '{pat}', '{esc_mask}', 'g') AS {cur}"
+            f" FROM {src_cte})"
+        )
+        prev = cur
+    rows = " UNION ALL ".join(
+        f"SELECT '{cls}' AS class,"
+        f" CAST(SUM(CASE WHEN {cls}_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_touched,"
+        f" CAST(SUM({cls}_n) AS BIGINT) AS n_hits,"
+        f" CAST(SUM({cls}_c) AS BIGINT) AS chars_matched"
+        f" FROM s{len(_RED_CLASSES) - 1}"
+        for cls, _p, _m in _RED_CLASSES
+    )
+    return f"""
+WITH src AS (
+  SELECT c_name || ' <' || lower(replace(c_name, '#', '.')) || '@example.com>'
+         || ' https://ex.example/o/' || CAST(c_custkey AS VARCHAR)
+         || ' tok ' || md5(c_name) AS t0
+  FROM customer
+),
+{", ".join(stages)}
+{rows}
+"""
+
+
+@query("q210_redact_multiclass", oracle=_q210_oracle(), tags=("text", "privacy", "EXT"))
+def q210_redact_multiclass(spark, sf_dir):
+    """Sequential multi-class redaction with per-class accounting:
+    (class, rows touched, match count, chars matched) for emails,
+    URLs, 16+-char hex tokens, and 6+-digit runs, applied in that
+    order so overlapping patterns attribute to exactly one class.
+    All JVM regexp built-ins over one synthesized column — map-only
+    ahead of one 4-row aggregate, so at 100 TB the scan dominates and
+    nothing shuffles but four counters per class. The staged-mask
+    contract (count class k on the text AFTER masks 0..k-1) is what
+    the oracle pins; q199 keeps the single-class production shape."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.concat(
+            F.col("c_name"),
+            F.lit(" <"),
+            F.lower(F.regexp_replace("c_name", "#", ".")),
+            F.lit("@example.com>"),
+            F.lit(" https://ex.example/o/"),
+            F.col("c_custkey").cast("string"),
+            F.lit(" tok "),
+            F.md5(F.col("c_name").cast("binary")),
+        ).alias("t")
+    )
+    staged = cust
+    aggs = []
+    for cls, pat, mask in _RED_CLASSES:
+        staged = staged.select(
+            "*",
+            F.size(F.regexp_extract_all("t", F.lit(pat), F.lit(0))).alias(f"{cls}_n"),
+            (
+                F.length("t") - F.length(F.regexp_replace("t", pat, ""))
+            ).alias(f"{cls}_c"),
+            F.regexp_replace("t", pat, mask.replace("[", "\\[")).alias("t2"),
+        ).drop("t").withColumnRenamed("t2", "t")
+        aggs.extend(
+            [
+                F.sum((F.col(f"{cls}_n") > 0).cast("long")).alias(f"{cls}_rows"),
+                F.sum(f"{cls}_n").cast("long").alias(f"{cls}_hits"),
+                F.sum(f"{cls}_c").cast("long").alias(f"{cls}_chars"),
+            ]
+        )
+    one = staged.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{cls}', {cls}_rows, {cls}_hits, {cls}_chars" for cls, _p, _m in _RED_CLASSES
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_RED_CLASSES)}, {stack_args})"
+            " AS (class, n_rows_touched, n_hits, chars_matched)"
+        )
+    )

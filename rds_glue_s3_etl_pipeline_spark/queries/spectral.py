@@ -684,3 +684,54 @@ def q208_gram_incremental(spark, sf_dir):
         )
     )
     return merged.select("i", "j", "g")
+
+
+# --------------------------------------------------------------------------
+# q209: the O(d)-per-vector BLAS moments form, registered under a gate
+# (round-8 verdict item #5: the scale path existed only in tools and
+# tests). q195's decimal explode is the ORACLE ANCHOR but costs
+# d*(d+1)/2 product rows per vector — fine at d=64, wrong at d=512+
+# where one X^T X BLAS call per Arrow batch is ~the cost of reading
+# the batch. This query runs BOTH forms and gates their agreement, so
+# the fast form is itself oracle-checked (through the anchor) every
+# sweep.
+# --------------------------------------------------------------------------
+
+_Q209_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST({_DIM} AS BIGINT) AS d,
+       CAST({_DIM * (_DIM + 1) // 2} AS BIGINT) AS n_entries,
+       'ok' AS agreement_gate
+FROM embeddings
+"""
+
+
+@query("q209_moments_blas_gate", oracle=_Q209_ORACLE, tags=("vector", "spectral", "gate", "EXT"))
+def q209_moments_blas_gate(spark, sf_dir):
+    """Agreement gate between the two Gram forms: the O(d) Arrow/BLAS
+    moments pass (operators/spectral.moments — one X^T X per batch,
+    d*d+d+1 numbers cross the shuffle) and the decimal-exact explode
+    (gram_exact, q195's hash-matched anchor). Both run over the SAME
+    4dp-quantized values, so they differ only by float64 accumulation
+    order; the gate requires every upper-triangular entry to agree
+    within 1e-9 relative to the Gram's largest magnitude. A fixture
+    where the gate trips means the BLAS partials are broken (dtype,
+    transpose, batch boundary) — exactly the failure the decimal
+    anchor exists to catch. Scale: the BLAS form is the d=512+ path
+    (tools/moments_dsweep.py measures the d-scaling law); both sides
+    here are bounded collects of d^2-ish rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    g_blas, _s, n = S.moments(
+        emb.select(S.quantized_double("embedding").alias("embedding")), "embedding"
+    )
+    exact_rows = S.gram_exact(emb, "embedding").collect()
+    scale = max(abs(float(r["g"])) for r in exact_rows) or 1.0
+    max_dev = max(
+        abs(g_blas[int(r["i"]), int(r["j"])] - float(r["g"])) for r in exact_rows
+    )
+    gate = "ok" if max_dev <= 1e-9 * scale else f"FAIL dev={max_dev:.3e}"
+    d = g_blas.shape[0]
+    return spark.createDataFrame(
+        [(n, d, d * (d + 1) // 2, gate)],
+        schema="n_vectors long, d long, n_entries long, agreement_gate string",
+    )

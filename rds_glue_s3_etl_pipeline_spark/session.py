@@ -12,6 +12,7 @@ default.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -80,3 +81,34 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def released_blocks(spark: SparkSession):
+    """Release every RDD block pinned INSIDE this context (eager
+    localCheckpoint / persist) when it exits.
+
+    Why: queries that materialize intermediates (shingle tables, CC
+    rounds, snapshot builds) pin MEMORY_AND_DISK blocks that outlive
+    the query — the result DataFrame they return reads from parquet or
+    driver-side data, so the blocks are garbage, but the Python-ref ->
+    JVM-GC -> ContextCleaner chain reclaims them lazily. Until then
+    they squat in the unified memory pool, and the NEXT memory-hungry
+    job pays a one-time eviction storm (measured: 20s on a query that
+    runs in 1s clean). Scoped release (only ids created inside the
+    context) cannot touch blocks some earlier live DataFrame still
+    depends on.
+
+    Only valid when nothing RETURNED from the context carries lineage
+    into the released blocks — i.e. the context must end with terminal
+    writes (parquet/snapshot) or bounded collects.
+    """
+    jsc = spark.sparkContext._jsc
+    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    try:
+        yield
+    finally:
+        m = jsc.getPersistentRDDs()
+        for rid in list(m.keySet().toArray()):
+            if int(rid) not in before:
+                m.get(rid).unpersist(False)
