@@ -104,6 +104,21 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def release_blocks(spark) -> None:
+    """Unpersist every pinned RDD block between timed queries. Pinned
+    checkpoint blocks left by a finished query tax whichever
+    memory-hungry query runs next (SCALE.md round-9: a measured 20s
+    one-time eviction stall on a 1s query). Queries now release their
+    own scoped blocks (session.released_blocks), but bench measurement
+    hygiene should not DEPEND on every future query remembering to —
+    between timings nothing live references these blocks (results are
+    materialized to a noop sink and dropped), so a sweep-level release
+    keeps each number attributable to its own query."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(m.keySet().toArray()):
+        m.get(rid).unpersist(False)
+
+
 def canary_sec(spark) -> float:
     """Fixed synthetic workload (no IO, no repo code): times the
     MACHINE, not the engine. Successive rounds divide per-query times
@@ -176,6 +191,7 @@ def main() -> None:
                 break
             best = min(best, time.perf_counter() - t0)
         timings[name] = f"err: {err}" if err else round(best, 3)
+        release_blocks(spark)
 
     canary = min(canary, canary_sec(spark))
 
@@ -207,6 +223,7 @@ def main() -> None:
             except Exception:
                 pass
         tier2_timings[name] = round(took, 3)
+        release_blocks(spark)
 
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     tier2_total = round(
