@@ -151,6 +151,34 @@ def kmeans_assign(
     )
 
 
+def kmeans_assign_topn(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe assignment: each vector's ``nprobe`` nearest
+    centroids (same 4dp-rounded cosine + c_id tie-break discipline as
+    :func:`kmeans_assign`, which is the nprobe=1 special case).
+    Returns (id_col, vec_col, c_id, cos_sim, probe_rank) with nprobe
+    rows per vector — the query-side fan-out of an IVF search or a
+    multi-probe k-NN graph; the corpus side stays home-cell-indexed."""
+    scored = embeddings.crossJoin(
+        F.broadcast(centroids.select("c_id", "cv"))
+    ).select(
+        id_col,
+        vec_col,
+        "c_id",
+        F.round(V.cosine(F.col(vec_col), F.col("cv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+    )
+
+
 def kmeans_update(
     assigned: DataFrame,
     vec_col: str = "embedding",

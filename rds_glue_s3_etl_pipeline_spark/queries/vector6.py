@@ -1,0 +1,342 @@
+"""k-NN graph construction over the embedding corpus: the blocked
+all-vectors top-k neighbor join (q212) and its measured recall against
+exact brute force on a deterministic query sample (q213).
+
+Why a training-data pipeline needs this: SemDeDup-style diversity
+analysis, cluster-balanced sampling, and label propagation all consume
+a neighbor GRAPH (top-k per vector), not just per-query retrieval
+(q24/q59 answer "neighbors of THIS query"; q212 answers "neighbors of
+EVERY vector"). An exact all-pairs join is O(N^2) and dead at scale;
+the registered form blocks by the trained spherical-k-means cell
+(q142's codebook, _km_ctes's SQL twin) so candidate pairs are
+within-cell only — the IVF-nprobe=1 regime — and q213 pins the recall
+price of that blocking the same way q166 pins the dedup grid's.
+
+Reference scope: beyond-reference training-data families (SURVEY
+§2.11); the reference job has no vector surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import vector as V
+from .registry import query
+from .vector3 import _KM_ITERS, _KM_K, _init_centroids, _km_ctes
+
+_KNN_K = 3
+
+# --------------------------------------------------------------------------
+# q212: blocked k-NN graph — top-3 cosine neighbors per vector among
+# the vectors sharing its k-means cell.
+# --------------------------------------------------------------------------
+
+_Q212_ORACLE = f"""
+WITH {_km_ctes(_KM_K, _KM_ITERS)},
+fin AS (
+  SELECT a.vec_id, a.c_id, e.v
+  FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
+),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         ROUND(list_cosine_similarity(a.v, b.v), 4) AS cs
+  FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, nbr_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, nbr_id) AS rnk
+  FROM p
+)
+SELECT vec_id, nbr_id, CAST(rnk AS BIGINT) AS rnk, cs
+FROM r WHERE rnk <= {_KNN_K}
+"""
+
+
+def _blocked_knn(spark, sf_dir):
+    """(vec_id, nbr_id, rnk, cs): top-_KNN_K within-cell neighbors per
+    vector — shared by q212 (the graph) and q213 (the recall gate)."""
+    from ..operators.similarity import spherical_kmeans
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fin = spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS).select(
+        "vec_id", "embedding", "c_id"
+    )
+    a = fin.select(
+        "c_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
+    )
+    b = fin.select(
+        "c_id", F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("b_v")
+    )
+    pairs = a.join(b, "c_id").filter(F.col("a_id") != F.col("nbr_id"))
+    scored = pairs.select(
+        F.col("a_id").alias("vec_id"),
+        "nbr_id",
+        F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("vec_id", "nbr_id", "rnk", "cs")
+    )
+
+
+@query("q212_knn_graph_blocked", oracle=_Q212_ORACLE, tags=("vector", "similarity", "EXT"))
+def q212_knn_graph_blocked(spark, sf_dir):
+    """Blocked k-NN graph: assign every vector to its trained k-means
+    cell (q142's spherical Lloyd, the _km_ctes SQL twin so the oracle
+    hash-matches the whole pipeline), generate candidate pairs ONLY
+    within a cell, keep each vector's top-3 by 4dp-rounded cosine
+    (ties to the lower neighbor id).
+
+    Scale shape: training is the broadcast Lloyd loop (sample-bounded,
+    corpus never shuffles); the pair join shuffles on cell id with
+    per-cell fan-out |cell|^2 — bounded because cell count grows with
+    the corpus under the adaptive grid (operators/similarity.
+    adaptive_grid) and clone-dense cells fall under the q169 hub cap;
+    the per-vector top-k is a window PARTITIONED BY the vector, never
+    global. Vectors whose cell has fewer than k+1 members return
+    fewer rows — the honest blocked contract, priced by q213."""
+    return _blocked_knn(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q213: the recall gate — blocked graph vs exact brute force on a
+# deterministic ~1/32 query sample.
+# --------------------------------------------------------------------------
+
+_KNN_RECALL_MIN = 0.3  # below the fixture-measured 0.35-0.59 band; see docstring
+
+
+def _q213_oracle() -> str:
+    return f"""
+WITH blocked AS ({_Q212_ORACLE}),
+q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE md5(CAST(vec_id AS VARCHAR)) < '08'
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+exact AS (
+  SELECT vec_id, nbr_id FROM (
+    SELECT q.vec_id, c.vec_id AS nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 4) DESC,
+                                       c.vec_id) AS rnk
+    FROM q JOIN corpus c ON c.vec_id <> q.vec_id
+  ) WHERE rnk <= {_KNN_K}
+),
+hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM exact e JOIN blocked b ON b.vec_id = e.vec_id AND b.nbr_id = e.nbr_id
+),
+n AS (SELECT COUNT(DISTINCT vec_id) AS n_queries FROM q)
+SELECT CAST(n.n_queries AS BIGINT) AS n_queries,
+       CAST({_KNN_K} AS BIGINT) AS k,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits AS DOUBLE) / (n.n_queries * {_KNN_K}) AS recall,
+       CASE WHEN CAST(h.n_hits AS DOUBLE) / (n.n_queries * {_KNN_K})
+                 >= {_KNN_RECALL_MIN}
+            THEN 'ok' ELSE 'FAIL recall' END AS recall_gate
+FROM n, hits h
+"""
+
+
+@query("q213_knn_recall_gate", oracle=_q213_oracle(), tags=("vector", "similarity", "gate", "EXT"))
+def q213_knn_recall_gate(spark, sf_dir):
+    """Recall of the blocked k-NN graph against exact brute force on a
+    deterministic md5(vec_id) < '08' query sample (~1/32 of vectors —
+    seedless, both engines pick the same set): recall = fraction of
+    the exact top-3 pairs the blocked graph recovered, gated against
+    a fixture-pinned floor. nprobe=1 blocking is the HONEST-price
+    regime (q145's pattern): this registers the number a corpus build
+    consults before trusting the graph, and the multi-probe /
+    adaptive-grid dials from the ANN family raise it at the measured
+    candidate cost. Scale: the exact arm is sample x corpus through
+    one broadcast (bounded by the sample), the blocked arm is q212."""
+    blocked = _blocked_knn(spark, sf_dir).select(
+        F.col("vec_id").alias("b_vid"), F.col("nbr_id").alias("b_nid")
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = e.filter(
+        F.md5(F.col("vec_id").cast("string").cast("binary")) < "08"
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_v"))
+    scored = e.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("nbr_id"),
+        F.round(V.cosine(F.col("q_v"), F.col("embedding")), 4).alias("cs"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("nbr_id"))
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("q_id", "nbr_id")
+    )
+    hits = exact.join(
+        blocked,
+        (F.col("b_vid") == F.col("q_id")) & (F.col("b_nid") == F.col("nbr_id")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    n = qs.agg(F.countDistinct("q_id").alias("n_queries"))
+    recall = F.col("n_hits").cast("double") / (F.col("n_queries") * _KNN_K)
+    return n.crossJoin(F.broadcast(hits)).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(_KNN_K).cast("long").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        recall.alias("recall"),
+        F.when(recall >= _KNN_RECALL_MIN, F.lit("ok"))
+        .otherwise(F.lit("FAIL recall"))
+        .alias("recall_gate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q214: the multi-probe dial — nprobe=2 k-NN graph recall on the same
+# sample, with the candidate cost alongside. Together with q213 this
+# registers the (recall, cost) curve's first two points for the GRAPH
+# case, the way tools/ann_adaptive_probe.py tabulates it for retrieval.
+# --------------------------------------------------------------------------
+
+_KNN_NPROBE = 2
+_KNN_MP_RECALL_MIN = 0.4  # above q213 floor, below the fixture 0.46-0.64 band
+
+
+def _q214_oracle() -> str:
+    return f"""
+WITH {_km_ctes(_KM_K, _KM_ITERS)},
+probe AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                       c.c_id) AS rn
+    FROM e CROSS JOIN cent{_KM_ITERS} c
+  ) WHERE rn <= {_KNN_NPROBE}
+),
+home AS (SELECT vec_id, c_id FROM assign{_KM_ITERS}),
+cand AS (
+  SELECT p.vec_id AS vec_id, h.vec_id AS nbr_id
+  FROM probe p JOIN home h ON h.c_id = p.c_id AND h.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT c.vec_id, c.nbr_id,
+         ROUND(list_cosine_similarity(a.v, b.v), 4) AS cs
+  FROM cand c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.nbr_id
+),
+g AS (
+  SELECT vec_id, nbr_id FROM (
+    SELECT vec_id, nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, nbr_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_KNN_K}
+),
+q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE md5(CAST(vec_id AS VARCHAR)) < '08'
+),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+exact AS (
+  SELECT vec_id, nbr_id FROM (
+    SELECT q.vec_id, c.vec_id AS nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 4) DESC,
+                                       c.vec_id) AS rnk
+    FROM q JOIN corpus c ON c.vec_id <> q.vec_id
+  ) WHERE rnk <= {_KNN_K}
+),
+hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM exact e2 JOIN g ON g.vec_id = e2.vec_id AND g.nbr_id = e2.nbr_id
+),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+n AS (SELECT COUNT(DISTINCT vec_id) AS n_queries FROM q)
+SELECT CAST(n.n_queries AS BIGINT) AS n_queries,
+       CAST({_KNN_K} AS BIGINT) AS k,
+       CAST({_KNN_NPROBE} AS BIGINT) AS nprobe,
+       nc.n_candidates,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits AS DOUBLE) / (n.n_queries * {_KNN_K}) AS recall,
+       CASE WHEN CAST(h.n_hits AS DOUBLE) / (n.n_queries * {_KNN_K})
+                 >= {_KNN_MP_RECALL_MIN}
+            THEN 'ok' ELSE 'FAIL recall' END AS recall_gate
+FROM n, nc, hits h
+"""
+
+
+@query("q214_knn_multiprobe_gate", oracle=_q214_oracle(), tags=("vector", "similarity", "gate", "EXT"))
+def q214_knn_multiprobe_gate(spark, sf_dir):
+    """The nprobe dial applied to the k-NN graph: the query side probes
+    its 2 nearest cells (kmeans_assign_topn), the corpus side stays
+    home-cell-indexed, and the gate reports recall AND candidate count
+    against the same exact sample as q213 — the two registered points
+    of the graph's (recall, cost) curve (fixture: 0.35 recall at
+    nprobe=1 vs higher at nprobe=2, candidates ~2x). Each candidate
+    pair appears exactly once (a neighbor's home cell can match at
+    most one of the query's distinct probes), so no dedup shuffle is
+    needed. Scale: same blocked shapes as q212 with the query-side
+    fan-out multiplied by nprobe — the dial's cost is visible in
+    n_candidates rather than hidden."""
+    from ..operators.similarity import (
+        kmeans_assign,
+        kmeans_assign_topn,
+        spherical_kmeans_codebook,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = spherical_kmeans_codebook(e, _init_centroids(e), iters=_KM_ITERS)
+    probe = kmeans_assign_topn(e, cent, _KNN_NPROBE).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v"), "c_id"
+    )
+    home = kmeans_assign(e, cent).select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("b_v"), "c_id"
+    )
+    cand = probe.join(home, "c_id").filter(F.col("a_id") != F.col("nbr_id"))
+    n_candidates = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    scored = cand.select(
+        F.col("a_id").alias("vec_id"),
+        "nbr_id",
+        F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("nbr_id"))
+    g = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select(F.col("vec_id").alias("b_vid"), F.col("nbr_id").alias("b_nid"))
+    )
+    qs = e.filter(
+        F.md5(F.col("vec_id").cast("string").cast("binary")) < "08"
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_v"))
+    ex_scored = e.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("nbr_id"),
+        F.round(V.cosine(F.col("q_v"), F.col("embedding")), 4).alias("cs"),
+    )
+    we = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("nbr_id"))
+    exact = (
+        ex_scored.withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("q_id", "nbr_id")
+    )
+    hits = exact.join(
+        g,
+        (F.col("b_vid") == F.col("q_id")) & (F.col("b_nid") == F.col("nbr_id")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    n = qs.agg(F.countDistinct("q_id").alias("n_queries"))
+    recall = F.col("n_hits").cast("double") / (F.col("n_queries") * _KNN_K)
+    return (
+        n.crossJoin(F.broadcast(n_candidates))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.lit(_KNN_K).cast("long").alias("k"),
+            F.lit(_KNN_NPROBE).cast("long").alias("nprobe"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            recall.alias("recall"),
+            F.when(recall >= _KNN_MP_RECALL_MIN, F.lit("ok"))
+            .otherwise(F.lit("FAIL recall"))
+            .alias("recall_gate"),
+        )
+    )
