@@ -340,3 +340,86 @@ def q214_knn_multiprobe_gate(spark, sf_dir):
             .alias("recall_gate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q215: neighbor-vote label diagnostics — the k-NN graph's first
+# consumer. Predict every vector's label by majority vote over its
+# blocked top-3 neighbors and report per-label agreement with the
+# stored label: low agreement flags label noise or a collapsed
+# embedding region (the label-quality audit a curation pass runs
+# before trusting weak labels).
+# --------------------------------------------------------------------------
+
+_Q215_ORACLE = f"""
+WITH g AS ({_Q212_ORACLE}),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+votes AS (
+  SELECT g.vec_id, nl.label AS nbr_label, COUNT(*) AS n_votes
+  FROM g JOIN lab nl ON nl.vec_id = g.nbr_id
+  GROUP BY g.vec_id, nl.label
+),
+pred AS (
+  SELECT vec_id, nbr_label AS pred_label FROM (
+    SELECT vec_id, nbr_label, n_votes,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY n_votes DESC, nbr_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT l.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN p.pred_label = l.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       SUM(CASE WHEN p.pred_label = l.label THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS agreement
+FROM lab l JOIN pred p ON p.vec_id = l.vec_id
+GROUP BY l.label
+"""
+
+
+@query("q215_label_propagation_audit", oracle=_Q215_ORACLE, tags=("vector", "similarity", "curation", "EXT"))
+def q215_label_propagation_audit(spark, sf_dir):
+    """One round of label propagation over the blocked k-NN graph
+    (q212), scored against the stored labels per label class: each
+    vector's predicted label is the majority among its top-3 in-cell
+    neighbors (ties to the smaller label id), and the report is
+    (label, n_vectors, n_agree, agreement). Vectors with no in-cell
+    neighbor have no prediction and drop out (the inner join) — the
+    blocked contract q213 prices.
+
+    Scale shape: the graph is q212's bounded pair join; the vote is a
+    groupBy on (vec_id, nbr_label) whose fan-in is k rows per vector;
+    the argmax is a per-vector window; the report is #labels rows. No
+    stage exceeds the graph's own cost, so label auditing is ~free on
+    top of a graph the pipeline already builds."""
+    g = _blocked_knn(spark, sf_dir)
+    lab = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    votes = (
+        g.join(
+            lab.select(
+                F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")
+            ),
+            "nbr_id",
+        )
+        .groupBy("vec_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("n_votes"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("nbr_label").alias("pred_label"))
+    )
+    agree = (F.col("pred_label") == F.col("label")).cast("long")
+    return (
+        lab.join(pred, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(agree).alias("n_agree"),
+            (F.sum(agree) / F.count(F.lit(1)).cast("double")).alias("agreement"),
+        )
+    )
