@@ -204,12 +204,16 @@ def refresh_snapshot(
       old star edge are replaced: the doc reconnects only through the
       batch's incident edges, approximating what a full recompute on
       the updated content would do. One conservative residue: if the
-      re-ingested doc was a cluster LABEL, its id keeps acting as a
-      graph node through the other members' star edges, so the updated
-      doc still over-merges into its old cluster even when its new
-      content matches nothing there. Content updates that must retract
-      THAT need a full re-cluster (build_snapshot); that is the
-      documented limit of incremental refresh.
+      re-ingested doc was a cluster LABEL and its new content has no
+      edge back to that cluster, the old members keep its id as their
+      (now dangling) cluster label — under blast-radius re-clustering
+      they stay grouped under that label without following the updated
+      doc into its new cluster (the pre-blast-radius form instead
+      dragged them along transitively; both are approximations of the
+      true re-cluster, which would make them singletons). Content
+      updates that must retract stale membership exactly need a full
+      re-cluster (build_snapshot); that is the documented limit of
+      incremental refresh.
     - ``"error"``: assert batch ∩ snapshot = ∅ and raise with the
       offending count otherwise (one bounded semi-join count over the
       3-column assignment — cheap next to the refresh itself). Use

@@ -345,13 +345,17 @@ def block_sub_assign(
     nrm_col: str = "nrm",
     hint_broadcast: bool = True,
     sub: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """One hierarchy level: sample a ``k_sub``-entry sub-codebook per
     existing block (block_sub_codebook, unless a prebuilt ``sub`` is
     passed) and assign each member to its nearest sub-centroid — 4dp
     cosine, ``id_out`` tie-break, the cross-engine determinism
     discipline shared with kmeans_assign. Returns df plus the
-    ``id_out`` block column.
+    ``id_out`` block column. ``nprobe`` > 1 keeps each member's top-n
+    sub-cells instead of the argmax (n rows per member) — the
+    query-side fan-out of a multi-probe search at this level; the
+    corpus side stays nprobe=1.
 
     Scale: the sub-codebook is #blocks x k_sub rows. While that is
     broadcast-sized (early levels; the default hint) the join is
@@ -375,7 +379,7 @@ def block_sub_assign(
     return (
         joined.withColumn("__scos", scos)
         .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nprobe)
         .drop("__sv", "__snrm", "__scos", "__rn")
     )
 

@@ -7,10 +7,14 @@ analysis, cluster-balanced sampling, and label propagation all consume
 a neighbor GRAPH (top-k per vector), not just per-query retrieval
 (q24/q59 answer "neighbors of THIS query"; q212 answers "neighbors of
 EVERY vector"). An exact all-pairs join is O(N^2) and dead at scale;
-the registered form blocks by the trained spherical-k-means cell
-(q142's codebook, _km_ctes's SQL twin) so candidate pairs are
-within-cell only — the IVF-nprobe=1 regime — and q213 pins the recall
-price of that blocking the same way q166 pins the dedup grid's.
+the registered form blocks by the ADAPTIVE grid (depth from
+adaptive_grid(N, 32), so block size holds ~32 at any corpus size and
+pair work stays linear — the fixed 16-cell form measured quadratic:
+45 s at 10x) with candidates within-block only — the IVF-nprobe=1
+regime — and q213 pins the recall price of that blocking the same way
+q166 pins the dedup grid's. At the sf0.01 oracle fixture the adaptive
+rule reproduces the single-level 16-cell grid, so every oracle here is
+the _km_ctes fixed-grid SQL twin (the q163/q149 equality pattern).
 
 Reference scope: beyond-reference training-data families (SURVEY
 §2.11); the reference job has no vector surface.
@@ -27,6 +31,10 @@ from .registry import query
 from .vector3 import _KM_ITERS, _KM_K, _init_centroids, _km_ctes
 
 _KNN_K = 3
+# Fixed-size exact-arm query sample: md5-ordered LIMIT, so the recall
+# gates cost sample x corpus (LINEAR) at any scale — a fractional
+# sample made the exact arm quadratic (N/32 queries x N corpus).
+_KNN_SAMPLE = 64
 
 # --------------------------------------------------------------------------
 # q212: blocked k-NN graph — top-3 cosine neighbors per vector among
@@ -54,23 +62,110 @@ FROM r WHERE rnk <= {_KNN_K}
 """
 
 
-def _blocked_knn(spark, sf_dir):
-    """(vec_id, nbr_id, rnk, cs): top-_KNN_K within-cell neighbors per
-    vector — shared by q212 (the graph) and q213 (the recall gate)."""
-    from ..operators.similarity import spherical_kmeans
+# Neighbor blocks target ~32 members: big enough that top-3 recall is
+# meaningful, small enough that the within-block pair term is N*32.
+# adaptive_grid(500, 32, coarse_k=16) == [16] — at the sf0.01 oracle
+# fixture the adaptive rule reproduces EXACTLY the single-level
+# 16-cell grid the SQL twin encodes (the q163/q149 equality pattern);
+# beyond fixture scale the tree deepens and the implementation
+# diverges from the fixture-pinned oracle by design.
+_KNN_TARGET_BLOCK = 32
+
+
+def _knn_candidates(spark, sf_dir, nprobe: int = 1):
+    """Candidate pairs (a_id, nbr_id, a_v, b_v) of the adaptive-grid
+    k-NN search: corpus side home-assigned to its deepest block, query
+    side probing its top-``nprobe`` blocks AT THE DEEPEST LEVEL (home
+    path above it, so the fan-out is nprobe x block, not nprobe^depth).
+    Each pair appears exactly once — a neighbor has ONE home block and
+    a query's probes are distinct blocks. Depth grows with the corpus
+    so block size stays ~_KNN_TARGET_BLOCK: pair work is
+    N x nprobe x block, LINEAR, where the fixed 16-cell form measured
+    quadratic (45 s / 106 s at 10x for nprobe 1 / 2)."""
+    from ..operators.similarity import (
+        adaptive_grid,
+        block_sub_assign,
+        block_sub_codebook,
+        kmeans_assign,
+        kmeans_assign_topn,
+        spherical_kmeans_codebook,
+    )
+    from .vector5 import _SUB_BROADCAST_ROWS, _count_rows, _train_slice
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    fin = spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS).select(
-        "vec_id", "embedding", "c_id"
+    ks = adaptive_grid(_count_rows(e), _KNN_TARGET_BLOCK, coarse_k=_KM_K)
+    train = _train_slice(e)
+    cent = spherical_kmeans_codebook(
+        train, _init_centroids(train, k=ks[0]), iters=_KM_ITERS
     )
-    a = fin.select(
-        "c_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
+    keep = ["vec_id", "embedding", "nrm"]
+    if len(ks) == 1:
+        home = (
+            kmeans_assign(e, cent)
+            .withColumn("nrm", V.norm(F.col("embedding")))
+            .select(*keep, "c_id")
+            .localCheckpoint(eager=True)
+        )
+        probe = (
+            kmeans_assign_topn(e, cent, nprobe).select("vec_id", "embedding", "c_id")
+            if nprobe > 1
+            else home
+        )
+        block_cols = ["c_id"]
+    else:
+        cur = (
+            kmeans_assign(e, cent)
+            .withColumn("nrm", V.norm(F.col("embedding")))
+            .select(*keep, "c_id")
+        )
+        block_cols = ["c_id"]
+        n_blocks = ks[0]
+        for i, k_sub in enumerate(ks[1:-1]):
+            cur = block_sub_assign(
+                cur,
+                tuple(block_cols),
+                k_sub,
+                f"s{i}_id",
+                hint_broadcast=(n_blocks * k_sub <= _SUB_BROADCAST_ROWS),
+            )
+            block_cols.append(f"s{i}_id")
+            n_blocks *= k_sub
+        cur = cur.localCheckpoint(eager=True)
+        last_id = f"s{len(ks) - 2}_id"
+        hint = n_blocks * ks[-1] <= _SUB_BROADCAST_ROWS
+        # Both sides score against the SAME sampled sub-codebook.
+        sub = block_sub_codebook(cur, tuple(block_cols), ks[-1], last_id)
+        home = block_sub_assign(
+            cur, tuple(block_cols), ks[-1], last_id, hint_broadcast=hint, sub=sub
+        ).localCheckpoint(eager=True)
+        probe = (
+            block_sub_assign(
+                cur,
+                tuple(block_cols),
+                ks[-1],
+                last_id,
+                hint_broadcast=hint,
+                sub=sub,
+                nprobe=nprobe,
+            )
+            if nprobe > 1
+            else home
+        )
+        block_cols.append(last_id)
+    a = probe.select(
+        *block_cols, F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
     )
-    b = fin.select(
-        "c_id", F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("b_v")
+    b = home.select(
+        *block_cols, F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("b_v")
     )
-    pairs = a.join(b, "c_id").filter(F.col("a_id") != F.col("nbr_id"))
-    scored = pairs.select(
+    return a.join(b, block_cols).filter(F.col("a_id") != F.col("nbr_id"))
+
+
+def _blocked_knn(spark, sf_dir, nprobe: int = 1):
+    """(vec_id, nbr_id, rnk, cs): top-_KNN_K neighbors per vector among
+    its _knn_candidates — shared by q212 (the graph), q213/q214 (the
+    recall gates), and q215 (label audit)."""
+    scored = _knn_candidates(spark, sf_dir, nprobe).select(
         F.col("a_id").alias("vec_id"),
         "nbr_id",
         F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4).alias("cs"),
@@ -85,20 +180,25 @@ def _blocked_knn(spark, sf_dir):
 
 @query("q212_knn_graph_blocked", oracle=_Q212_ORACLE, tags=("vector", "similarity", "EXT"))
 def q212_knn_graph_blocked(spark, sf_dir):
-    """Blocked k-NN graph: assign every vector to its trained k-means
-    cell (q142's spherical Lloyd, the _km_ctes SQL twin so the oracle
-    hash-matches the whole pipeline), generate candidate pairs ONLY
-    within a cell, keep each vector's top-3 by 4dp-rounded cosine
-    (ties to the lower neighbor id).
+    """Blocked k-NN graph: assign every vector to its adaptive-grid
+    block (depth from adaptive_grid(N, 32) — coarse Lloyd codebook on
+    the md5 training sample, then md5-sampled sub-codebooks per
+    block), generate candidate pairs ONLY within a block, keep each
+    vector's top-3 by 4dp-rounded cosine (ties to the lower neighbor
+    id). At the sf0.01 oracle fixture the adaptive rule yields exactly
+    the single-level 16-cell grid (and the training sample IS the
+    corpus), so the _km_ctes SQL twin hash-matches the whole pipeline
+    — the q163/q149 equality pattern; beyond fixture scale the tree
+    deepens and block size holds ~32.
 
-    Scale shape: training is the broadcast Lloyd loop (sample-bounded,
-    corpus never shuffles); the pair join shuffles on cell id with
-    per-cell fan-out |cell|^2 — bounded because cell count grows with
-    the corpus under the adaptive grid (operators/similarity.
-    adaptive_grid) and clone-dense cells fall under the q169 hub cap;
-    the per-vector top-k is a window PARTITIONED BY the vector, never
-    global. Vectors whose cell has fewer than k+1 members return
-    fewer rows — the honest blocked contract, priced by q213."""
+    Scale shape: training is sample-bounded (corpus never shuffles for
+    it); the pair join shuffles on the block key with per-block
+    fan-out |block|^2 ~ 32^2 — LINEAR total because block count grows
+    with the corpus (the fixed 16-cell form measured 45 s at 10x,
+    quadratic); the per-vector top-k is a window PARTITIONED BY the
+    vector, never global. Vectors whose block has fewer than k+1
+    members return fewer rows — the honest blocked contract, priced by
+    q213."""
     return _blocked_knn(spark, sf_dir)
 
 
@@ -115,7 +215,7 @@ def _q213_oracle() -> str:
 WITH blocked AS ({_Q212_ORACLE}),
 q AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE md5(CAST(vec_id AS VARCHAR)) < '08'
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KNN_SAMPLE}
 ),
 corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 exact AS (
@@ -159,9 +259,13 @@ def q213_knn_recall_gate(spark, sf_dir):
         F.col("vec_id").alias("b_vid"), F.col("nbr_id").alias("b_nid")
     )
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qs = e.filter(
-        F.md5(F.col("vec_id").cast("string").cast("binary")) < "08"
-    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_v"))
+    qs = (
+        e.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+        )
+        .limit(_KNN_SAMPLE)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_v"))
+    )
     scored = e.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id")).select(
         "q_id",
         F.col("vec_id").alias("nbr_id"),
@@ -233,7 +337,7 @@ g AS (
 ),
 q AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE md5(CAST(vec_id AS VARCHAR)) < '08'
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KNN_SAMPLE}
 ),
 corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 exact AS (
@@ -267,31 +371,20 @@ FROM n, nc, hits h
 @query("q214_knn_multiprobe_gate", oracle=_q214_oracle(), tags=("vector", "similarity", "gate", "EXT"))
 def q214_knn_multiprobe_gate(spark, sf_dir):
     """The nprobe dial applied to the k-NN graph: the query side probes
-    its 2 nearest cells (kmeans_assign_topn), the corpus side stays
-    home-cell-indexed, and the gate reports recall AND candidate count
-    against the same exact sample as q213 — the two registered points
-    of the graph's (recall, cost) curve (fixture: 0.35 recall at
-    nprobe=1 vs higher at nprobe=2, candidates ~2x). Each candidate
-    pair appears exactly once (a neighbor's home cell can match at
-    most one of the query's distinct probes), so no dedup shuffle is
-    needed. Scale: same blocked shapes as q212 with the query-side
-    fan-out multiplied by nprobe — the dial's cost is visible in
-    n_candidates rather than hidden."""
-    from ..operators.similarity import (
-        kmeans_assign,
-        kmeans_assign_topn,
-        spherical_kmeans_codebook,
-    )
-
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = spherical_kmeans_codebook(e, _init_centroids(e), iters=_KM_ITERS)
-    probe = kmeans_assign_topn(e, cent, _KNN_NPROBE).select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v"), "c_id"
-    )
-    home = kmeans_assign(e, cent).select(
-        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("b_v"), "c_id"
-    )
-    cand = probe.join(home, "c_id").filter(F.col("a_id") != F.col("nbr_id"))
+    its 2 nearest blocks AT THE DEEPEST adaptive-grid level, the
+    corpus side stays home-block-indexed, and the gate reports recall
+    AND candidate count against the same exact sample as q213 — the
+    two registered points of the graph's (recall, cost) curve
+    (fixture: ~0.40 recall at nprobe=1 vs ~0.51 at nprobe=2,
+    candidates ~2x). At the sf0.01 fixture the adaptive tree is the
+    single 16-cell level, so the SQL twin (top-2 of cent{iters},
+    corpus on assign{iters}) hash-matches exactly. Each candidate pair
+    appears exactly once (a neighbor's home block can match at most
+    one of the query's distinct probes), so no dedup shuffle is
+    needed. Scale: N x nprobe x block candidates — the dial's LINEAR
+    cost is visible in n_candidates rather than hidden (the fixed-grid
+    form measured 106 s at 10x; this one rides the q212 tree)."""
+    cand = _knn_candidates(spark, sf_dir, _KNN_NPROBE)
     n_candidates = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     scored = cand.select(
         F.col("a_id").alias("vec_id"),
@@ -304,9 +397,14 @@ def q214_knn_multiprobe_gate(spark, sf_dir):
         .filter(F.col("rnk") <= _KNN_K)
         .select(F.col("vec_id").alias("b_vid"), F.col("nbr_id").alias("b_nid"))
     )
-    qs = e.filter(
-        F.md5(F.col("vec_id").cast("string").cast("binary")) < "08"
-    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_v"))
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = (
+        e.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+        )
+        .limit(_KNN_SAMPLE)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_v"))
+    )
     ex_scored = e.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id")).select(
         "q_id",
         F.col("vec_id").alias("nbr_id"),
