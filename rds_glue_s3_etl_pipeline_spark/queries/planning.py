@@ -467,3 +467,128 @@ def q182_split_leakage(spark, sf_dir):
             ).alias("leak_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q216: leakage-safe split REPAIR — q182 measures the leak; this query
+# fixes it. Near-dup clusters (q34's verified edge set -> connected
+# components) are assigned to train/val/test as WHOLE UNITS by hashing
+# the cluster id, so no near-dup pair can ever straddle the train
+# fence. The report re-computes q182's leak predicate over the new
+# assignment as an in-query gate: n_leaked must be 0 by construction.
+# --------------------------------------------------------------------------
+
+
+def _q216_oracle() -> str:
+    from .vector import _Q34_ORACLE
+
+    split = f"""CASE WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_TRAIN_HI}' THEN 'train'
+            WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_VAL_HI}' THEN 'val'
+            ELSE 'test' END"""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a, vec_b FROM ({_Q34_ORACLE})
+),
+sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cl AS (
+  SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+),
+assigned AS (
+  SELECT e.vec_id, COALESCE(cl.cluster_id, e.vec_id) AS cluster_id
+  FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id
+),
+sp AS (
+  SELECT vec_id, cluster_id, ({split}) AS split FROM assigned
+),
+leak AS (
+  SELECT DISTINCT s1.vec_id
+  FROM sym p
+  JOIN sp s1 ON p.a = s1.vec_id
+  JOIN sp s2 ON p.b = s2.vec_id
+  WHERE s1.split <> 'train' AND s2.split = 'train'
+)
+SELECT sp.split,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT sp.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN leak.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+FROM sp LEFT JOIN leak ON sp.vec_id = leak.vec_id
+GROUP BY sp.split
+"""
+
+
+@query("q216_leakage_safe_split", oracle=_q216_oracle(), tags=("vector", "gate", "EXT"))
+def q216_leakage_safe_split(spark, sf_dir):
+    """Cluster-aware split assignment: near-dup components (q34 edges
+    -> star-contraction CC) inherit ONE split from the md5 bucket of
+    their cluster id (q138's fences), singletons hash their own id.
+    The returned report carries q182's leak predicate re-evaluated on
+    the new assignment — zero by construction, and the query proves it
+    rather than asserting it.
+
+    Scale: edges at 100 TB come from the LSH/banded path (the q34
+    all-pairs form is the oracle fixture); CC is large/small-star
+    contraction (O(log^2 n) rounds, shuffle volume = edge count);
+    the cluster map is dup-bounded and its broadcast is count-gated
+    (operators/skew.gated_broadcast); the split itself is a map-only
+    projection. Nothing here is heavier than the dedup pass a corpus
+    already runs — leakage-safe splits are a re-keying of its output.
+
+    Reference scope: EXT (SURVEY §2.11 corpus building); the reference
+    job (gule_test_job.py) has no split surface.
+    """
+    from ..operators.graph import connected_components_star
+    from ..operators.skew import gated_broadcast
+    from .vector import q34_cosine_near_dup
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = q34_cosine_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    cl = connected_components_star(pairs, src="vec_a", dst="vec_b").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    assigned = e.join(gated_broadcast(cl), "vec_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "vec_id")
+    )
+    bucket = F.substring(
+        F.md5(F.col("cluster_id").cast("string").cast("binary")), 1, 2
+    )
+    sp = assigned.withColumn(
+        "split",
+        F.when(bucket < _LEAK_TRAIN_HI, "train")
+        .when(bucket < _LEAK_VAL_HI, "val")
+        .otherwise("test"),
+    )
+    sym = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    leak = (
+        sym.join(
+            sp.select(F.col("vec_id").alias("vec_a"), F.col("split").alias("sa")),
+            "vec_a",
+        )
+        .join(
+            sp.select(F.col("vec_id").alias("vec_b"), F.col("split").alias("sb")),
+            "vec_b",
+        )
+        .filter((F.col("sa") != "train") & (F.col("sb") == "train"))
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+        .withColumn("leaked", F.lit(1))
+    )
+    return (
+        sp.join(leak, "vec_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(F.coalesce("leaked", F.lit(0))).cast("long").alias("n_leaked"),
+        )
+    )

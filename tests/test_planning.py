@@ -173,3 +173,36 @@ def test_q182_flags_eval_vectors_with_train_neighbors(spark, tmp_path):
     assert got["val"]["leak_rate"] == 0.5
     assert got["test"]["n_vectors"] == 1
     assert got["test"]["n_leaked"] == 0
+
+
+def test_q216_repairs_the_leak_by_cluster_assignment(spark, tmp_path):
+    from rds_glue_s3_etl_pipeline_spark.queries.planning import (
+        q216_leakage_safe_split,
+    )
+
+    # Same fixture as the q182 test: under the per-vector split, vec 3
+    # (val) leaks against vec 0 (train). Under the cluster split, the
+    # {0, 3} component hashes ONE id (0 -> train), so both land in
+    # train and every split's n_leaked is 0 by construction.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [0.0, 1.0, 0.0, 0.0], 1),
+        (2, [0.0, 0.0, 1.0, 0.0], 1),
+        (3, [0.99, 0.1, 0.0, 0.0], 1),   # clustered with vec 0
+        (44, [0.0, 0.0, 0.0, 1.0], 1),   # test singleton
+        (64, [0.0, 0.0, -1.0, 0.0], 1),  # val singleton
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = str(tmp_path / "emb")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    got = {
+        r["split"]: r.asDict()
+        for r in q216_leakage_safe_split(spark, out).collect()
+    }
+    assert got["train"]["n_vectors"] == 4          # 0,1,2 + repaired 3
+    assert got["train"]["n_clusters"] == 3         # {0,3}, {1}, {2}
+    assert got["val"]["n_vectors"] == 1            # 64 stays
+    assert got["test"]["n_vectors"] == 1           # 44 stays
+    assert all(v["n_leaked"] == 0 for v in got.values())
