@@ -447,3 +447,171 @@ def q211_snapshot_overlap_replay(spark, sf_dir):
             on_reingest="replace",
         )
     return survivors(read_snapshot_assigned(spark, snapshot_dir))
+
+
+# --------------------------------------------------------------------------
+# q217: snapshot epoch DIFF — what an ingest batch actually changed.
+# The audit a data team reads after every refresh: which survivors
+# appeared, which were replaced, which clusters merely regrouped.
+# --------------------------------------------------------------------------
+
+
+def _keep_best_ctes(pred: str, s: str) -> str:
+    """The q124 keep-best pipeline as a CTE list (no WITH keyword),
+    parameterized by a document predicate and a name suffix so two
+    instances can live in one statement. For pred TRUE this is
+    _Q124_ORACLE's logic verbatim (events3.py)."""
+    return f"""docs{s} AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE {pred}
+),
+toks{s} AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t FROM docs{s}
+),
+shingles{s} AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS sh
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, GREATEST(array_length(t) - {_SHINGLE_N - 1}, 0))) AS i
+          FROM toks{s})
+  )
+),
+sizes{s} AS (SELECT doc_id, COUNT(*) AS n FROM shingles{s} GROUP BY doc_id),
+sym{s} AS (
+  SELECT doc_a AS a, doc_b AS b FROM (
+    SELECT i.doc_a, i.doc_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles{s} a JOIN shingles{s} b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ) i
+    JOIN sizes{s} sa ON sa.doc_id = i.doc_a
+    JOIN sizes{s} sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {_JACCARD_THRESHOLD}
+  )
+  UNION
+  SELECT doc_b, doc_a FROM (
+    SELECT i.doc_a, i.doc_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles{s} a JOIN shingles{s} b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ) i
+    JOIN sizes{s} sa ON sa.doc_id = i.doc_a
+    JOIN sizes{s} sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {_JACCARD_THRESHOLD}
+  )
+),
+reach{s}(a, b) AS (
+  SELECT a, b FROM sym{s}
+  UNION
+  SELECT r.a, x.b FROM reach{s} r JOIN sym{s} x ON r.b = x.a
+),
+cl{s} AS (
+  SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id FROM reach{s} GROUP BY a
+),
+assigned{s} AS (
+  SELECT d.doc_id, COALESCE(cl{s}.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM docs{s} d LEFT JOIN cl{s} ON d.doc_id = cl{s}.doc_id
+),
+keep{s} AS (
+  SELECT r.cluster_id, r.doc_id AS kept_doc_id, r.n_chars AS kept_n_chars,
+         m.n_members
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        FROM assigned{s}) r
+  JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM assigned{s} GROUP BY cluster_id) m USING (cluster_id)
+  WHERE r.rn = 1
+)"""
+
+
+_Q217_ORACLE = f"""
+WITH RECURSIVE
+{_keep_best_ctes(f"doc_id % {_SPLIT_MOD} <> 0", "_h")},
+{_keep_best_ctes("TRUE", "_f")},
+diff AS (
+  SELECT CASE WHEN a.kept_doc_id IS NULL THEN 'added'
+              WHEN b.kept_doc_id IS NULL THEN 'dropped'
+              WHEN a.cluster_id <> b.cluster_id
+                   OR a.n_members <> b.n_members THEN 'regrouped'
+              ELSE 'kept' END AS change_type,
+         COALESCE(b.kept_n_chars, a.kept_n_chars) AS n_chars
+  FROM keep_h a FULL OUTER JOIN keep_f b ON a.kept_doc_id = b.kept_doc_id
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM diff GROUP BY change_type
+"""
+
+
+@query("q217_snapshot_epoch_diff", oracle=_Q217_ORACLE, tags=("dedup", "pipeline", "EXT"))
+def q217_snapshot_epoch_diff(spark, sf_dir):
+    """Diff two snapshot epochs' survivor tables: after the q159 build
+    (epoch 0 = history) + refresh (epoch 1 = history + batch), classify
+    every survivor as added (new batch doc won a cluster), dropped
+    (replaced or merged away), regrouped (still the keeper but its
+    cluster id or member count moved), or kept. The oracle recomputes
+    BOTH epochs from scratch (keep-best over the history slice, then
+    over the full corpus) and takes the same diff — so the epoch-0
+    parquet state, the refresh convergence, AND the diff logic are all
+    pinned by one hash.
+
+    Scale: both sides are survivor tables (corpus/dup-rate-bounded,
+    far smaller than the corpus); the diff is one full outer hash join
+    on kept_doc_id plus a 4-row aggregate. The epoch read is
+    partition-pruned (__epoch ranges), never a scan of all epochs.
+
+    Reference scope: EXT (SURVEY §2.11 corpus snapshot family).
+    """
+    from ..operators.corpus_snapshot import (
+        build_snapshot,
+        read_snapshot_assigned,
+        refresh_snapshot,
+        survivors,
+    )
+    from ..session import released_blocks
+
+    snapshot_dir = scratch_dir("q217_snapshot_")
+    with released_blocks(spark):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        is_new = F.col("doc_id") % _SPLIT_MOD == 0
+        sh = _hashed_shingles(spark, sf_dir)
+        sig = _signatures(sh)
+        sh_hist = sh.filter(F.col("doc_id") % _SPLIT_MOD != 0)
+        sig_hist = sig.filter(F.col("doc_id") % _SPLIT_MOD != 0)
+
+        build_snapshot(
+            docs.filter(~is_new),
+            _staged_edges(sh_hist, sig=sig_hist),
+            snapshot_dir,
+            epoch_id=0,
+        )
+        new_ids = docs.filter(is_new).select("doc_id")
+        refresh_snapshot(
+            spark,
+            snapshot_dir,
+            docs.filter(is_new),
+            _incident_edges(sh, new_ids, sig=sig),
+            epoch_id=1,
+        )
+    e0 = survivors(read_snapshot_assigned(spark, snapshot_dir, before_epoch=1))
+    e1 = survivors(read_snapshot_assigned(spark, snapshot_dir))
+    a, b = e0.alias("a"), e1.alias("b")
+    diff = a.join(
+        b, F.col("a.kept_doc_id") == F.col("b.kept_doc_id"), "full_outer"
+    ).select(
+        F.when(F.col("a.kept_doc_id").isNull(), "added")
+        .when(F.col("b.kept_doc_id").isNull(), "dropped")
+        .when(
+            (F.col("a.cluster_id") != F.col("b.cluster_id"))
+            | (F.col("a.n_members") != F.col("b.n_members")),
+            "regrouped",
+        )
+        .otherwise("kept")
+        .alias("change_type"),
+        F.coalesce("b.kept_n_chars", "a.kept_n_chars").alias("n_chars"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
