@@ -481,3 +481,152 @@ def q181_dedup_agreement(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q218: containment decontamination — the ASYMMETRIC overlap measure.
+# Jaccard (q23) misses an eval sample embedded in a long train doc
+# (the union term swamps it); containment |ngrams(eval) ∩
+# ngrams(train)| / |ngrams(eval)| is exactly the "is this benchmark
+# item inside that training document" question (the n-gram-overlap
+# decontamination rule of GPT-3 appendix C / PaLM-style reports).
+# --------------------------------------------------------------------------
+
+_CONT_N = 3            # word-trigram shingles (eval items are short)
+_CONT_THRESHOLD = 0.2  # flag train docs containing >= 20% of the item
+_CONT_DF_CAP = 64      # candidate stage drops train shingles above this df
+
+_Q218_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\\s+') AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, source, sh FROM (
+    SELECT doc_id, source,
+           array_to_string(t[i:i+{_CONT_N - 1}], ' ') AS sh
+    FROM (SELECT doc_id, source, t,
+                 unnest(generate_series(1, GREATEST(array_length(t) - {_CONT_N - 1}, 0))) AS i
+          FROM toks)
+  )
+),
+ev AS (SELECT doc_id, sh FROM shingles WHERE source = '{_EVAL_SOURCE}'),
+tr AS (SELECT doc_id, sh FROM shingles WHERE source <> '{_EVAL_SOURCE}'),
+evsz AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
+flagged AS (
+  SELECT i.eval_doc, i.train_doc,
+         i.n_common / CAST(s.n AS DOUBLE) AS containment
+  FROM (
+    SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc, COUNT(*) AS n_common
+    FROM ev e JOIN tr t ON e.sh = t.sh
+    GROUP BY e.doc_id, t.doc_id
+  ) i
+  JOIN evsz s ON i.eval_doc = s.doc_id
+  WHERE i.n_common / CAST(s.n AS DOUBLE) >= {_CONT_THRESHOLD}
+),
+agg AS (
+  SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS n_flagged,
+         MAX(containment) AS max_containment
+  FROM flagged GROUP BY eval_doc
+),
+best AS (
+  SELECT eval_doc, train_doc AS best_train_doc FROM (
+    SELECT eval_doc, train_doc, ROW_NUMBER() OVER (
+      PARTITION BY eval_doc ORDER BY containment DESC, train_doc) AS rn
+    FROM flagged
+  ) WHERE rn = 1
+)
+SELECT d.doc_id AS eval_doc,
+       COALESCE(agg.n_flagged, 0) AS n_flagged,
+       COALESCE(agg.max_containment, 0.0) AS max_containment,
+       best.best_train_doc
+FROM documents d
+LEFT JOIN agg ON d.doc_id = agg.eval_doc
+LEFT JOIN best ON d.doc_id = best.eval_doc
+WHERE d.source = '{_EVAL_SOURCE}'
+"""
+
+
+@query(
+    "q218_containment_decontaminate",
+    oracle=_Q218_ORACLE,
+    tags=("text", "dedup", "EXT"),
+)
+def q218_containment_decontaminate(spark, sf_dir):
+    """Per-benchmark-item contamination report: for every eval doc, how
+    many train docs contain >= 20% of its word trigrams, the max
+    containment, and the worst offender (ties -> lowest doc_id). Every
+    eval doc gets a row — clean items report (0, 0.0, NULL).
+
+    Staged like the dedup path: the candidate join is driven from the
+    df-capped side (train shingles in > _CONT_DF_CAP docs carry no
+    identification signal and are dropped BEFORE the fanout join —
+    boilerplate trigrams are the hot keys at corpus scale), then the
+    exact intersection count runs per CANDIDATE PAIR over the full
+    shingle sets, so the flagged containment values are exact. The
+    oracle computes the uncapped all-pairs form — the hash match at the
+    fixture is the staged-recall proof, same contract as q108's.
+
+    Scale: eval-side shingles are benchmark-bounded (broadcast); pair
+    work is linear in candidates x eval-item length, never train x
+    train. Shuffle keys are 8-byte xxhash64 of the shingles.
+
+    Reference scope: EXT (SURVEY §2.11 corpus building / dedup).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sh = (
+        X.exploded_word_shingles(d, "text", "doc_id", _CONT_N)
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .distinct()
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    is_eval = F.col("source") == _EVAL_SOURCE
+    ev = sh.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "h")
+    tr = sh.filter(~is_eval).select(F.col("doc_id").alias("train_doc"), "h")
+    evsz = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n"))
+
+    rare = (
+        tr.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONT_DF_CAP)
+        .select("h")
+    )
+    cand = (
+        ev.join(rare, "h").join(tr, "h").select("eval_doc", "train_doc").distinct()
+    )
+    inter = (
+        cand.join(ev, "eval_doc")
+        .join(tr, ["train_doc", "h"])
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    flagged = (
+        inter.join(evsz, "eval_doc")
+        .withColumn(
+            "containment", F.col("n_common") / F.col("n").cast("double")
+        )
+        .filter(F.col("containment") >= _CONT_THRESHOLD)
+    )
+    w = Window.partitionBy("eval_doc").orderBy(
+        F.col("containment").desc(), F.col("train_doc").asc()
+    )
+    best = (
+        flagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("eval_doc", F.col("train_doc").alias("best_train_doc"))
+    )
+    agg = flagged.groupBy("eval_doc").agg(
+        F.count(F.lit(1)).alias("n_flagged"),
+        F.max("containment").alias("max_containment"),
+    )
+    evdocs = d.filter(is_eval).select(F.col("doc_id").alias("eval_doc"))
+    return (
+        evdocs.join(agg, "eval_doc", "left")
+        .join(best, "eval_doc", "left")
+        .select(
+            "eval_doc",
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
+            "best_train_doc",
+        )
+    )

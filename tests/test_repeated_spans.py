@@ -194,3 +194,45 @@ def test_q181_agreement_counts_on_clone_pair(spark, tmp_path_factory):
     assert r["n_span_only"] == 1
     assert r["n_minhash_only"] == 0
     assert r["jaccard"] == 0.5
+
+
+def test_q218_containment_catches_embedded_eval_item(spark, tmp_path_factory):
+    from rds_glue_s3_etl_pipeline_spark.queries.text5 import (
+        q218_containment_decontaminate,
+    )
+
+    tmp = tmp_path_factory.mktemp("contain")
+    # Eval item (6 tokens -> 4 distinct trigrams) embedded verbatim in a
+    # LONG train doc: Jaccard is tiny (4 shared / ~30 union) but
+    # containment is 4/4 = 1.0 — the case q23-style symmetric dedup
+    # misses by construction.
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    train_hit = (
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 "
+        "alpha beta gamma delta epsilon zeta "
+        "w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    )
+    train_clean = "totally different words everywhere in this training document"
+    eval_clean = "another benchmark item with zero overlap anywhere at all"
+    d = spark.createDataFrame(
+        [
+            (1, eval_text, "src0"),
+            (2, train_hit, "src1"),
+            (3, train_clean, "src2"),
+            (4, eval_clean, "src0"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = str(tmp / "docs")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    rows = {
+        r["eval_doc"]: r.asDict()
+        for r in q218_containment_decontaminate(spark, out).collect()
+    }
+    assert set(rows) == {1, 4}  # every eval doc gets a row
+    assert rows[1]["n_flagged"] == 1
+    assert rows[1]["max_containment"] == 1.0
+    assert rows[1]["best_train_doc"] == 2
+    assert rows[4]["n_flagged"] == 0
+    assert rows[4]["max_containment"] == 0.0
+    assert rows[4]["best_train_doc"] is None
