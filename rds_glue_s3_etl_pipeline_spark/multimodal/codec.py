@@ -428,3 +428,44 @@ def ahash_bmp(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, AHASH_SCHEMA)
+
+
+def ehash_wav(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads (REAL RIFF chunk walk) and reduce each clip
+    to a 64-bit ENERGY hash — the audio analog of ahash_bmp: the clip
+    is cut into 64 time frames (frame of sample i = i*64 // n, so the
+    fingerprint is length-normalized), frame bit = frame's mean |amp|
+    strictly above the clip mean (exact integer cross-multiply:
+    sum_f * n > total * n_f), packed into four 16-bit bands. Same
+    banded-Hamming dedup contract as the image hash; an external
+    engine reproduces every bit from the source bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = decode_wav16(bytes(payload))["samples"]
+                n = len(samples)
+                e = [0] * 64
+                nf = [0] * 64
+                for i, s in enumerate(samples):
+                    f = i * 64 // n
+                    e[f] += abs(s)
+                    nf[f] += 1
+                total = sum(e)
+                bits = [
+                    1 if e[f] * n > total * nf[f] else 0 for f in range(64)
+                ]
+                bands = [
+                    sum(
+                        bits[j] << (j - i * AHASH_BAND_BITS)
+                        for j in range(i * AHASH_BAND_BITS, (i + 1) * AHASH_BAND_BITS)
+                    )
+                    for i in range(AHASH_BANDS)
+                ]
+                rows.append((doc_id, *bands, sum(bits)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3", "ones"]
+            )
+
+    return media.mapInPandas(run, AHASH_SCHEMA)

@@ -658,3 +658,61 @@ def q193_incremental_image_dedup(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("new_doc_id", "best_hist_doc_id", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# q220: audio ENERGY hash through the real WAV decode path — the audio
+# analog of q187's aHash. 64 length-normalized time frames (frame of
+# sample i = i*64 // n), bit = frame mean |amp| strictly above the
+# clip mean (exact integer cross-multiply), four 16-bit bands. The
+# near-dup join over these fingerprints is the SAME operator as
+# q188/q189 (_ahash_reps + _ahash_rep_pairs read only doc_id/b0..b3)
+# — registered once, shared by both modalities; on this fixture the
+# energy profile of byte-derived audio is noise-dominated (measured:
+# true text near-dups sit at Hamming 15+, the random floor at 7), so
+# the pair query would gate nothing and is deliberately not
+# registered for audio.
+# --------------------------------------------------------------------------
+
+_Q220_ORACLE = """
+WITH samp AS (
+  SELECT d.doc_id, length(d.text) AS n,
+         CAST((u.i - 1) * 64 // length(d.text) AS INT) AS frame,
+         ABS((ascii(substring(d.text, u.i, 1)) - 128) * 256) AS amp
+  FROM documents d, UNNEST(generate_series(1, length(d.text))) AS u(i)
+),
+fr AS (
+  SELECT doc_id, n, frame, SUM(amp) AS e, COUNT(*) AS nf
+  FROM samp GROUP BY doc_id, n, frame
+),
+tot AS (SELECT doc_id, SUM(e) AS total FROM fr GROUP BY doc_id),
+bits AS (
+  SELECT fr.doc_id, fr.frame,
+         CASE WHEN fr.e * fr.n > t.total * fr.nf THEN 1 ELSE 0 END AS bit
+  FROM fr JOIN tot t USING (doc_id)
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN frame//16=0 THEN bit << (frame%16) ELSE 0 END) AS INT) AS b0,
+  CAST(SUM(CASE WHEN frame//16=1 THEN bit << (frame%16) ELSE 0 END) AS INT) AS b1,
+  CAST(SUM(CASE WHEN frame//16=2 THEN bit << (frame%16) ELSE 0 END) AS INT) AS b2,
+  CAST(SUM(CASE WHEN frame//16=3 THEN bit << (frame%16) ELSE 0 END) AS INT) AS b3,
+  CAST(SUM(bit) AS INT) AS ones
+FROM bits GROUP BY doc_id
+"""
+
+
+@query("q220_audio_energy_hash", oracle=_Q220_ORACLE, tags=("multimodal", "dedup", "EXT"))
+def q220_audio_energy_hash(spark, sf_dir):
+    """Perceptual energy hash per audio clip through the REAL decode
+    path: encode 16-bit PCM WAV per doc, walk the RIFF chunks back,
+    cut into 64 length-normalized frames, bit = frame mean |amp|
+    strictly above the clip mean (sum_f * n > total * n_f — exact
+    integers), packed into four 16-bit bands. One Arrow-batched
+    mapInPandas with per-clip state; the oracle rebuilds all 64 bits
+    from the source bytes. The banded-Hamming pair join and keep-best
+    collapse are q188/q189's operators unchanged — fingerprint columns
+    are the shared contract."""
+    from ..multimodal.codec import attach_wav_payload, ehash_wav
+
+    media = attach_wav_payload(load(spark, sf_dir, "documents"))
+    return ehash_wav(media)

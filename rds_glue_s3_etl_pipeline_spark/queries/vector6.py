@@ -521,3 +521,131 @@ def q215_label_propagation_audit(spark, sf_dir):
             (F.sum(agree) / F.count(F.lit(1)).cast("double")).alias("agreement"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q219: DBSCAN over the embedding corpus — density clustering with the
+# classic core/border/noise trichotomy, on the same blocked eps-graph
+# the dedup and k-NN families already use. SemDeDup-style pipelines
+# use exactly this to find coherent REGIONS (not just pairs): dense
+# cores are redundant content to downsample, noise is the long tail
+# to keep.
+# --------------------------------------------------------------------------
+
+_DBSCAN_EPS_COS = 0.3  # eps-neighbor = cosine >= 0.3 (q34's verified edge set)
+_DBSCAN_MIN_NBRS = 2   # core = >= 2 eps-neighbors (minPts 3 counting self)
+
+
+def _q219_oracle() -> str:
+    from .vector import _NEAR_DUP_THRESHOLD, _Q34_ORACLE
+
+    assert _NEAR_DUP_THRESHOLD == _DBSCAN_EPS_COS
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a, vec_b FROM ({_Q34_ORACLE})
+),
+sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+deg AS (SELECT a AS vec_id, COUNT(*) AS d FROM sym GROUP BY a),
+core AS (SELECT vec_id FROM deg WHERE d >= {_DBSCAN_MIN_NBRS}),
+csym AS (
+  SELECT s.a, s.b FROM sym s
+  JOIN core ca ON s.a = ca.vec_id
+  JOIN core cb ON s.b = cb.vec_id
+),
+reach(a, b) AS (
+  SELECT a, b FROM csym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN csym s ON r.b = s.a
+),
+ccl AS (
+  SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+),
+corecl AS (
+  SELECT c.vec_id, COALESCE(ccl.cluster_id, c.vec_id) AS cluster_id
+  FROM core c LEFT JOIN ccl ON c.vec_id = ccl.vec_id
+),
+border AS (
+  SELECT s.a AS vec_id, MIN(k.cluster_id) AS cluster_id
+  FROM sym s JOIN corecl k ON s.b = k.vec_id
+  WHERE s.a NOT IN (SELECT vec_id FROM core)
+  GROUP BY s.a
+)
+SELECT e.vec_id,
+       CASE WHEN c.vec_id IS NOT NULL THEN 'core'
+            WHEN b.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(c.cluster_id, b.cluster_id) AS cluster_id
+FROM embeddings e
+LEFT JOIN corecl c ON e.vec_id = c.vec_id
+LEFT JOIN border b ON e.vec_id = b.vec_id
+"""
+
+
+@query("q219_dbscan_embeddings", oracle=_q219_oracle(), tags=("vector", "graph", "EXT"))
+def q219_dbscan_embeddings(spark, sf_dir):
+    """Distributed DBSCAN over the eps-graph (eps-neighbor = cosine >=
+    {_DBSCAN_EPS_COS}, q34's verified edge set): core = >=
+    {_DBSCAN_MIN_NBRS} neighbors (one degree aggregate), clusters =
+    star-contraction CC over core-core edges only, border = non-core
+    with a core neighbor (assigned to its MIN core cluster — the
+    deterministic version of DBSCAN's order-dependent border tie),
+    noise = the rest. Every vector gets a row.
+
+    Scale: the eps-graph at 100 TB comes from the adaptive grid
+    (q163's blocking) rather than label blocks — everything downstream
+    of the edge list is degree counts, CC (O(log^2 n) rounds, shuffle
+    = edge count), and two hash joins; nothing is ever all-pairs. The
+    cluster map is density-bounded (only cores), smaller than the
+    dup-cluster maps q124 already gates.
+
+    Reference scope: EXT (SURVEY §2.11); no clustering in the
+    reference job.
+    """
+    from ..operators.graph import connected_components_star
+    from .vector import q34_cosine_near_dup
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = q34_cosine_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    sym = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    core = deg.filter(F.col("d") >= _DBSCAN_MIN_NBRS).select(
+        F.col("a").alias("vec_id")
+    )
+    csym = (
+        sym.join(core.withColumnRenamed("vec_id", "a"), "a")
+        .join(core.withColumnRenamed("vec_id", "b"), "b")
+        .select("a", "b")
+    )
+    ccl = connected_components_star(csym, src="a", dst="b").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    corecl = core.join(ccl, "vec_id", "left").select(
+        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+    )
+    border = (
+        sym.join(
+            corecl.select(F.col("vec_id").alias("b"), "cluster_id"), "b"
+        )
+        .join(core.withColumnRenamed("vec_id", "a"), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .withColumnRenamed("a", "vec_id")
+    )
+    return (
+        e.join(corecl.withColumnRenamed("cluster_id", "c_cl"), "vec_id", "left")
+        .join(border.withColumnRenamed("cluster_id", "b_cl"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("c_cl").isNotNull(), "core")
+            .when(F.col("b_cl").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("c_cl", "b_cl").alias("cluster_id"),
+        )
+    )

@@ -395,3 +395,33 @@ def test_q193_best_match_recompute(spark, sf_dir):
     }
     assert got == expect
     assert expect  # non-trivial on the smoke fixture
+
+
+def test_q220_energy_hash_bits_are_exact(spark, tmp_path):
+    """A clip with one loud frame and quiet elsewhere sets exactly the
+    loud frame's bit; identical texts hash identically."""
+    from rds_glue_s3_etl_pipeline_spark.queries.multimodal_q import (
+        q220_audio_energy_hash,
+    )
+
+    # 64 chars -> 64 one-sample frames. chr(128) -> amp 0; chr(255) ->
+    # amp 32512. One loud sample at position 5 -> only bit 5 set (b0 =
+    # 1 << 5), every other frame is 0 <= mean and stays 0.
+    quiet = chr(128) * 64
+    loud = chr(128) * 5 + chr(255) + chr(128) * 58
+    d = spark.createDataFrame(
+        [(1, loud, "src1"), (2, loud, "src2"), (3, quiet, "src3")],
+        "doc_id bigint, text string, source string",
+    )
+    out = str(tmp_path / "docs")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q220_audio_energy_hash(spark, out).collect()
+    }
+    assert rows[1]["b0"] == 1 << 5
+    assert (rows[1]["b1"], rows[1]["b2"], rows[1]["b3"]) == (0, 0, 0)
+    assert rows[1]["ones"] == 1
+    assert rows[1] == {**rows[2], "doc_id": 1}  # identical text, identical hash
+    # all-quiet clip: no frame is strictly above the mean
+    assert rows[3]["ones"] == 0
