@@ -649,3 +649,70 @@ def q219_dbscan_embeddings(spark, sf_dir):
             F.coalesce("c_cl", "b_cl").alias("cluster_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q221: hard-negative mining — per training query, the top-k most
+# similar vectors with a DIFFERENT label. Contrastive/embedding
+# training (SimCSE/DPR-style) needs exactly this table: negatives
+# that are hard BECAUSE they are near the anchor yet labeled
+# differently. Same brute-force-vs-index contract as q24/q59: this is
+# the exact oracle form; at corpus scale the candidate generator is
+# the IVF/adaptive-grid probe (q147/q163 machinery) and q213-style
+# gates pin the recall of swapping it in.
+# --------------------------------------------------------------------------
+
+_HN_QUERIES = 8
+_HN_K = 5
+
+_Q221_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < {_HN_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(e.label AS BIGINT) AS neg_label,
+         ROUND(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+  FROM e JOIN q ON e.label <> q.q_label
+),
+ranked AS (
+  SELECT q_id, vec_id, neg_label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, neg_label, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_HN_K}
+"""
+
+
+@query("q221_hard_negatives", oracle=_Q221_ORACLE, tags=("vector", "similarity", "EXT"))
+def q221_hard_negatives(spark, sf_dir):
+    """Top-{_HN_K} cross-label cosine neighbors per query vector: the
+    hard-negative table for contrastive training. Broadcast the query
+    set (sample-bounded), score with the zip_with/aggregate fold (JVM
+    built-ins, codegen — no UDF), keep only rows whose label differs
+    from the anchor's, rank per query. One corpus pass, one top-k
+    window; positives never reach the window because the label test
+    is part of the join condition (planner pushes it into the
+    broadcast join, not a post-filter)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    cos = F.round(V.cosine(F.col("embedding"), F.col("q_vec")), 4)
+    scored = e.join(
+        F.broadcast(q), F.col("label") != F.col("q_label")
+    ).select(
+        "q_id",
+        "vec_id",
+        F.col("label").cast("long").alias("neg_label"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= _HN_K)
