@@ -735,3 +735,71 @@ def q209_moments_blas_gate(spark, sf_dir):
         [(n, d, d * (d + 1) // 2, gate)],
         schema="n_vectors long, d long, n_entries long, agreement_gate string",
     )
+
+
+# --------------------------------------------------------------------------
+# q222: inter-class separation — the cosine similarity matrix of the
+# per-label centroids. The embedding-health dashboard number: labels
+# whose centroids sit close are the confusable classes (and the
+# candidates for merging or re-labeling before training a classifier
+# head on them). Cosine is scale-invariant, so the centroid cosine
+# equals the cosine of the per-label component SUMS — the division by
+# the class count cancels and the whole statistic reduces to one
+# decimal-exact aggregate.
+# --------------------------------------------------------------------------
+
+_Q222_ORACLE = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(14,4)) AS x
+  FROM embeddings
+),
+s AS (
+  SELECT label, pos,
+         CAST(CAST(CAST(SUM(x) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS sv
+  FROM ex GROUP BY label, pos
+),
+v AS (SELECT label, list(sv ORDER BY pos) AS sumvec FROM s GROUP BY label)
+SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+       ROUND(list_cosine_similarity(a.sumvec, b.sumvec), 4) AS centroid_cos
+FROM v a JOIN v b ON a.label < b.label
+"""
+
+
+@query("q222_label_centroid_matrix", oracle=_Q222_ORACLE, tags=("vector", "spectral", "EXT"))
+def q222_label_centroid_matrix(spark, sf_dir):
+    """Pairwise cosine of per-label centroid directions, decimal-exact
+    up to the final rounded cosine: components are 4dp-quantized (the
+    q195 discipline), per-(label, pos) sums are decimal with the
+    string->double render, and only the 64-term dot/norm fold runs in
+    float — rounded to 4dp on both engines.
+
+    Scale: the shuffle carries labels x d rows (640 here) REGARDLESS
+    of corpus size — the same bounded-state invariant as the Gram
+    family; the pair join is labels², driver-free, and broadcast-sized
+    by construction.
+    """
+    from ..functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("decimal(14,4)"))
+    s = ex.groupBy("label", "pos").agg(
+        F.sum("x").cast("decimal(38,8)").cast("string").cast("double").alias("sv")
+    )
+    v = s.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sv"))),
+            lambda t: t["sv"],
+        ).alias("sumvec")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return a.join(b, F.col("a.label") < F.col("b.label")).select(
+        F.col("a.label").cast("long").alias("label_a"),
+        F.col("b.label").cast("long").alias("label_b"),
+        F.round(V.cosine(F.col("a.sumvec"), F.col("b.sumvec")), 4).alias(
+            "centroid_cos"
+        ),
+    )
