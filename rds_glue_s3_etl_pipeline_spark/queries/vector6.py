@@ -716,3 +716,124 @@ def q221_hard_negatives(spark, sf_dir):
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= _HN_K)
+
+
+# --------------------------------------------------------------------------
+# q223: DBSCAN on the ADAPTIVE-GRID eps-graph — q219's registered
+# scale form (the q149 -> q163 pattern). q219's edge set is the
+# label-blocked all-pairs join: exact, but quadratic per label. Here
+# the eps-edges are the within-block pairs of the adaptive grid
+# (block ~32 members at any N -> edge enumeration is linear), and the
+# oracle mirrors the SAME blocking via the fixed-grid SQL twin, which
+# the adaptive rule reproduces exactly at the sf0.01 fixture.
+# --------------------------------------------------------------------------
+
+
+def _q223_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_km_ctes(_KM_K, _KM_ITERS)},
+fin AS (
+  SELECT a.vec_id, a.c_id, e.v
+  FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
+),
+sym AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_DBSCAN_EPS_COS}
+),
+deg AS (SELECT a AS vec_id, COUNT(*) AS d FROM sym GROUP BY a),
+core AS (SELECT vec_id FROM deg WHERE d >= {_DBSCAN_MIN_NBRS}),
+csym AS (
+  SELECT s.a, s.b FROM sym s
+  JOIN core ca ON s.a = ca.vec_id
+  JOIN core cb ON s.b = cb.vec_id
+),
+reach(a, b) AS (
+  SELECT a, b FROM csym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN csym s ON r.b = s.a
+),
+ccl AS (
+  SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+),
+corecl AS (
+  SELECT c.vec_id, COALESCE(ccl.cluster_id, c.vec_id) AS cluster_id
+  FROM core c LEFT JOIN ccl ON c.vec_id = ccl.vec_id
+),
+border AS (
+  SELECT s.a AS vec_id, MIN(k.cluster_id) AS cluster_id
+  FROM sym s JOIN corecl k ON s.b = k.vec_id
+  WHERE s.a NOT IN (SELECT vec_id FROM core)
+  GROUP BY s.a
+)
+SELECT e2.vec_id,
+       CASE WHEN c.vec_id IS NOT NULL THEN 'core'
+            WHEN b.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(c.cluster_id, b.cluster_id) AS cluster_id
+FROM embeddings e2
+LEFT JOIN corecl c ON e2.vec_id = c.vec_id
+LEFT JOIN border b ON e2.vec_id = b.vec_id
+"""
+
+
+@query("q223_dbscan_grid", oracle=_q223_oracle(), tags=("vector", "graph", "EXT"))
+def q223_dbscan_grid(spark, sf_dir):
+    """DBSCAN with adaptive-grid eps-edge generation: within-block
+    pairs at cosine >= {_DBSCAN_EPS_COS} (the _knn_candidates join —
+    block size held ~{_KNN_TARGET_BLOCK} at any corpus size, so edge
+    enumeration is LINEAR where q219's label blocks are quadratic per
+    label), then the identical degree/CC/border pipeline. The oracle
+    encodes the fixed {_KM_K}-cell grid, which adaptive_grid
+    reproduces exactly at the sf0.01 fixture — the q163/q149 equality
+    pattern; beyond fixture scale the tree deepens by design.
+
+    Blocking note (honest contract): eps-pairs straddling blocks are
+    invisible — the q213-style recall gate family bounds that price;
+    density REGIONS split across blocks reappear when border/core
+    chains re-join through shared members, exactly as in grid
+    SemDeDup (q163's measured -1.5% membership at the hub cap).
+    """
+    from ..operators.graph import connected_components_star
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    sym = (
+        _knn_candidates(spark, sf_dir, nprobe=1)
+        .withColumn("cs", F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4))
+        .filter(F.col("cs") >= _DBSCAN_EPS_COS)
+        .select(F.col("a_id").alias("a"), F.col("nbr_id").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    core = deg.filter(F.col("d") >= _DBSCAN_MIN_NBRS).select(
+        F.col("a").alias("vec_id")
+    )
+    csym = (
+        sym.join(core.withColumnRenamed("vec_id", "a"), "a")
+        .join(core.withColumnRenamed("vec_id", "b"), "b")
+        .select("a", "b")
+    )
+    ccl = connected_components_star(csym, src="a", dst="b").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    corecl = core.join(ccl, "vec_id", "left").select(
+        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+    )
+    border = (
+        sym.join(corecl.select(F.col("vec_id").alias("b"), "cluster_id"), "b")
+        .join(core.withColumnRenamed("vec_id", "a"), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .withColumnRenamed("a", "vec_id")
+    )
+    return (
+        e.join(corecl.withColumnRenamed("cluster_id", "c_cl"), "vec_id", "left")
+        .join(border.withColumnRenamed("cluster_id", "b_cl"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("c_cl").isNotNull(), "core")
+            .when(F.col("b_cl").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("c_cl", "b_cl").alias("cluster_id"),
+        )
+    )
