@@ -837,3 +837,120 @@ def q223_dbscan_grid(spark, sf_dir):
             F.coalesce("c_cl", "b_cl").alias("cluster_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q224: leakage-safe split repair on the ADAPTIVE-GRID eps-graph —
+# q216's registered scale form, the same q149 -> q163 move as q223:
+# q216's label-blocked edge join measured 21.9x/decade at 10x where
+# the grid form stays ~3x. Cluster = CC over grid eps-edges, split =
+# md5 bucket of the cluster id, and the report re-proves zero leakage
+# over the SAME edge set (cross-block pairs are the recall gates'
+# contract, as everywhere in the grid family).
+# --------------------------------------------------------------------------
+
+
+def _q224_oracle() -> str:
+    from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
+
+    split = f"""CASE WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_TRAIN_HI}' THEN 'train'
+            WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_VAL_HI}' THEN 'val'
+            ELSE 'test' END"""
+    return f"""
+WITH RECURSIVE {_km_ctes(_KM_K, _KM_ITERS)},
+fin AS (
+  SELECT a.vec_id, a.c_id, e.v
+  FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
+),
+sym AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_DBSCAN_EPS_COS}
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cl AS (
+  SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+),
+assigned AS (
+  SELECT e2.vec_id, COALESCE(cl.cluster_id, e2.vec_id) AS cluster_id
+  FROM embeddings e2 LEFT JOIN cl ON e2.vec_id = cl.vec_id
+),
+sp AS (
+  SELECT vec_id, cluster_id, ({split}) AS split FROM assigned
+),
+leak AS (
+  SELECT DISTINCT s1.vec_id
+  FROM sym p
+  JOIN sp s1 ON p.a = s1.vec_id
+  JOIN sp s2 ON p.b = s2.vec_id
+  WHERE s1.split <> 'train' AND s2.split = 'train'
+)
+SELECT sp.split,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT sp.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN leak.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+FROM sp LEFT JOIN leak ON sp.vec_id = leak.vec_id
+GROUP BY sp.split
+"""
+
+
+@query("q224_leakage_safe_split_grid", oracle=_q224_oracle(), tags=("vector", "gate", "EXT"))
+def q224_leakage_safe_split_grid(spark, sf_dir):
+    """q216's repair with linear edge generation: eps-edges from the
+    adaptive grid's within-block pairs, CC by star contraction, whole
+    clusters hashed to one split, zero-leak re-proof in the report.
+    The oracle encodes the fixed {_KM_K}-cell grid which adaptive_grid
+    reproduces exactly at the fixture; beyond fixture scale the tree
+    deepens and block size stays ~{_KNN_TARGET_BLOCK}."""
+    from ..operators.graph import connected_components_star
+    from ..operators.skew import gated_broadcast
+    from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    sym = (
+        _knn_candidates(spark, sf_dir, nprobe=1)
+        .withColumn("cs", F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4))
+        .filter(F.col("cs") >= _DBSCAN_EPS_COS)
+        .select(F.col("a_id").alias("a"), F.col("nbr_id").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    cl = connected_components_star(sym, src="a", dst="b").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    assigned = e.join(gated_broadcast(cl), "vec_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "vec_id")
+    )
+    bucket = F.substring(
+        F.md5(F.col("cluster_id").cast("string").cast("binary")), 1, 2
+    )
+    sp = assigned.withColumn(
+        "split",
+        F.when(bucket < _LEAK_TRAIN_HI, "train")
+        .when(bucket < _LEAK_VAL_HI, "val")
+        .otherwise("test"),
+    )
+    leak = (
+        sym.join(
+            sp.select(F.col("vec_id").alias("a"), F.col("split").alias("sa")), "a"
+        )
+        .join(
+            sp.select(F.col("vec_id").alias("b"), F.col("split").alias("sb")), "b"
+        )
+        .filter((F.col("sa") != "train") & (F.col("sb") == "train"))
+        .select(F.col("a").alias("vec_id"))
+        .distinct()
+        .withColumn("leaked", F.lit(1))
+    )
+    return (
+        sp.join(leak, "vec_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(F.coalesce("leaked", F.lit(0))).cast("long").alias("n_leaked"),
+        )
+    )
