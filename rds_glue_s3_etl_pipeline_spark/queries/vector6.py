@@ -72,16 +72,14 @@ FROM r WHERE rnk <= {_KNN_K}
 _KNN_TARGET_BLOCK = 32
 
 
-def _knn_candidates(spark, sf_dir, nprobe: int = 1):
-    """Candidate pairs (a_id, nbr_id, a_v, b_v) of the adaptive-grid
-    k-NN search: corpus side home-assigned to its deepest block, query
-    side probing its top-``nprobe`` blocks AT THE DEEPEST LEVEL (home
-    path above it, so the fan-out is nprobe x block, not nprobe^depth).
-    Each pair appears exactly once — a neighbor has ONE home block and
-    a query's probes are distinct blocks. Depth grows with the corpus
-    so block size stays ~_KNN_TARGET_BLOCK: pair work is
-    N x nprobe x block, LINEAR, where the fixed 16-cell form measured
-    quadratic (45 s / 106 s at 10x for nprobe 1 / 2)."""
+def _knn_assignments(spark, sf_dir, nprobe: int = 1):
+    """(home, probe, block_cols) of the adaptive-grid k-NN index:
+    ``home`` assigns every vector to its deepest block, ``probe`` is
+    the query-side assignment probing the top-``nprobe`` blocks at the
+    deepest level (identical to home for nprobe=1). Shared by the
+    candidate join (q212-q215, q223/q224) and the incremental refresh
+    (q225), which needs the assignment table itself to split members
+    by touched block."""
     from ..operators.similarity import (
         adaptive_grid,
         block_sub_assign,
@@ -152,6 +150,20 @@ def _knn_candidates(spark, sf_dir, nprobe: int = 1):
             else home
         )
         block_cols.append(last_id)
+    return home, probe, block_cols
+
+
+def _knn_candidates(spark, sf_dir, nprobe: int = 1):
+    """Candidate pairs (a_id, nbr_id, a_v, b_v) of the adaptive-grid
+    k-NN search: corpus side home-assigned to its deepest block, query
+    side probing its top-``nprobe`` blocks AT THE DEEPEST LEVEL (home
+    path above it, so the fan-out is nprobe x block, not nprobe^depth).
+    Each pair appears exactly once — a neighbor has ONE home block and
+    a query's probes are distinct blocks. Depth grows with the corpus
+    so block size stays ~_KNN_TARGET_BLOCK: pair work is
+    N x nprobe x block, LINEAR, where the fixed 16-cell form measured
+    quadratic (45 s / 106 s at 10x for nprobe 1 / 2)."""
+    home, probe, block_cols = _knn_assignments(spark, sf_dir, nprobe)
     a = probe.select(
         *block_cols, F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
     )
@@ -954,3 +966,89 @@ def q224_leakage_safe_split_grid(spark, sf_dir):
             F.sum(F.coalesce("leaked", F.lit(0))).cast("long").alias("n_leaked"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q225: incremental k-NN graph refresh — the blast-radius lifecycle
+# for the graph family (q159/q193's pattern on a new state table).
+# Build the neighbor lists over history, persist them, fold in an
+# ingest batch by recomputing ONLY the blocks the batch touches, and
+# the merged state must hash-match q212's one-shot oracle exactly.
+# --------------------------------------------------------------------------
+
+# ~1% deterministic batch: P(block untouched) = (1 - f)^|block|, so a
+# 1% batch leaves ~0.99^32 ~ 72% of blocks untouched — the refresh
+# cost is the touched fraction, not the corpus. (A 20% nightly batch
+# would touch ~every block: incremental == rebuild, honestly.)
+_KNN_INC_MOD = 100
+
+
+def _knn_block_topk(members_a, members_b, block_cols):
+    """Top-_KNN_K neighbors of each a-side vector among the b-side
+    members of ITS OWN block — the q212 scoring with explicit member
+    sets, so build (hist x hist) and refresh (touched x touched) reuse
+    one shape."""
+    a = members_a.select(
+        *block_cols, F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
+    )
+    b = members_b.select(
+        *block_cols,
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("b_v"),
+    )
+    scored = (
+        a.join(b, block_cols)
+        .filter(F.col("a_id") != F.col("nbr_id"))
+        .select(
+            *block_cols,
+            F.col("a_id").alias("vec_id"),
+            "nbr_id",
+            F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _KNN_K)
+    )
+
+
+@query("q225_knn_graph_incremental", oracle=_Q212_ORACLE, tags=("vector", "pipeline", "EXT"))
+def q225_knn_graph_incremental(spark, sf_dir):
+    """The k-NN graph as maintained state: build the neighbor lists
+    over history (vec_id % {_KNN_INC_MOD} != 0), persist them to
+    parquet, fold the ingest batch in by recomputing ONLY the blocks
+    the batch touches (untouched lists are read back verbatim), and
+    return the merged graph — which must hash-match q212's ONE-SHOT
+    oracle, proving refresh ≡ rebuild exactly.
+
+    Why equality holds: the codebook is the shared md5-sample-trained
+    index (frozen across build and refresh — the production contract);
+    a block with no batch member has an identical member set in both
+    histories, so its top-k lists are identical; a touched block is
+    recomputed over its full (history ∪ batch) membership.
+
+    Scale: refresh cost is touched-blocks work only. P(block
+    untouched) = (1-f)^|block| for batch fraction f — a 1% batch
+    leaves ~72% of 32-member blocks untouched, a 0.01% production
+    batch ~99.7%; the persisted lists make the saving real (3 longs +
+    1 double per edge read back, no rescoring).
+    """
+    from ..scratch import scratch_dir
+
+    home, _, block_cols = _knn_assignments(spark, sf_dir, nprobe=1)
+    is_new = F.col("vec_id") % _KNN_INC_MOD == 0
+    hist = home.filter(~is_new)
+    batch = home.filter(is_new)
+
+    g_dir = scratch_dir("q225_knn_")
+    _knn_block_topk(hist, hist, block_cols).write.mode("overwrite").parquet(
+        f"{g_dir}/graph_epoch0.parquet"
+    )
+    g0 = spark.read.parquet(f"{g_dir}/graph_epoch0.parquet")
+
+    touched = batch.select(*block_cols).distinct()
+    members = home.join(touched, block_cols)  # hist + batch of touched blocks
+    g1 = _knn_block_topk(members, members, block_cols)
+    untouched = g0.join(touched, block_cols, "left_anti")
+    return untouched.unionByName(g1).select("vec_id", "nbr_id", "rnk", "cs")
