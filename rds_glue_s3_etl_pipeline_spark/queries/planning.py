@@ -592,3 +592,69 @@ def q216_leakage_safe_split(spark, sf_dir):
             F.sum(F.coalesce("leaked", F.lit(0))).cast("long").alias("n_leaked"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q226: stratified split with EXACT integer allocation — the
+# complement of the hash splits (q138/q216): a hash split's per-source
+# proportions only converge in expectation; evaluation suites need
+# per-stratum counts exact to the row. Allocation is integer floor
+# math (train = 8n/10, val = n/10, remainder test), assignment by
+# deterministic md5 rank within the stratum.
+# --------------------------------------------------------------------------
+
+_Q226_ORACLE = """
+WITH ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+sp AS (
+  SELECT source,
+         CASE WHEN r <= (n * 8) // 10 THEN 'train'
+              WHEN r <= (n * 8) // 10 + n // 10 THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sp GROUP BY source, split
+"""
+
+
+@query("q226_stratified_split_exact", oracle=_Q226_ORACLE, tags=("text", "pipeline", "EXT"))
+def q226_stratified_split_exact(spark, sf_dir):
+    """Per-source 80/10/10 split with row-exact allocation: rank docs
+    within their stratum by md5 (deterministic, uncorrelated with
+    content), cut at integer quotas computed from the stratum size —
+    every source contributes exactly floor(0.8n)/floor(0.1n)/rest.
+
+    Scale: the within-stratum rank is a window partitioned by source —
+    per-partition work bounded by stratum size. For a single stratum
+    approaching corpus size, the registered fix is the two-pass
+    prefix-sum rank (operators/prefix.py, the q203 move); the window
+    form here matches the oracle's semantics one-to-one.
+
+    Reference scope: EXT (SURVEY §2.11 corpus building).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    r = F.row_number().over(w)
+    train_hi = F.floor((n * 8) / F.lit(10))
+    val_hi = train_hi + F.floor(n / F.lit(10))
+    sp = d.select(
+        "source",
+        F.when(r <= train_hi, "train")
+        .when(r <= val_hi, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return sp.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

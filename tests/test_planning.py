@@ -206,3 +206,25 @@ def test_q216_repairs_the_leak_by_cluster_assignment(spark, tmp_path):
     assert got["val"]["n_vectors"] == 1            # 64 stays
     assert got["test"]["n_vectors"] == 1           # 44 stays
     assert all(v["n_leaked"] == 0 for v in got.values())
+
+
+def test_q226_allocation_is_row_exact_at_awkward_n(spark, tmp_path):
+    """n = 26 per stratum: floor(0.8*26) = 20 train, floor(2.6) = 2
+    val, 4 test — the case where double division would mis-cut the val
+    fence (20.8 + 2.6 = 23.4 rounds the wrong way)."""
+    from rds_glue_s3_etl_pipeline_spark.queries.planning import (
+        q226_stratified_split_exact,
+    )
+
+    rows = [(i, f"doc {i}", f"s{i % 2}") for i in range(52)]  # 26 per source
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = str(tmp_path / "docs")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    got = {
+        (r["source"], r["split"]): r["n_docs"]
+        for r in q226_stratified_split_exact(spark, out).collect()
+    }
+    for s in ("s0", "s1"):
+        assert got[(s, "train")] == 20
+        assert got[(s, "val")] == 2
+        assert got[(s, "test")] == 4
