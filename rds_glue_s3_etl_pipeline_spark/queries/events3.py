@@ -255,3 +255,71 @@ def q125_conversion_pattern(spark, sf_dir):
         F.col("ms").alias("purchase_ms"),
         "last_view_ms",
     )
+
+
+# --------------------------------------------------------------------------
+# q227: per-source dedup report card — the dashboard a data team reads
+# after the dedup pass: how much of each source survives keep-best,
+# how much text mass the survivors carry. Clusters are attributed to
+# the KEPT doc's source (a cross-source cluster counts for whoever won
+# it — documented, and exactly what the oracle computes too).
+# --------------------------------------------------------------------------
+
+_Q227_ORACLE = f"""
+WITH RECURSIVE surv AS ({_Q124_ORACLE}),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+  FROM documents GROUP BY source
+),
+kept AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(s.kept_n_chars) AS BIGINT) AS n_chars_kept,
+         CAST(SUM(s.n_members) AS BIGINT) AS n_members_repr
+  FROM surv s JOIN documents d ON s.kept_doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT p.source, p.n_docs, k.n_kept,
+       1.0 - k.n_kept / CAST(p.n_docs AS DOUBLE) AS dedup_rate,
+       p.n_chars_total, k.n_chars_kept, k.n_members_repr
+FROM per_src p JOIN kept k ON p.source = k.source
+"""
+
+
+@query("q227_dedup_report_card", oracle=_Q227_ORACLE, tags=("dedup", "pipeline", "EXT"))
+def q227_dedup_report_card(spark, sf_dir):
+    """Per-source survivor stats over the q124 keep-best decision: doc
+    and char counts before/after, the dedup rate, and how many corpus
+    members the source's survivors represent. One broadcast-sized join
+    (survivors are dup-bounded) + two map-side-combinable aggregates
+    on top of the already-verified dedup pipeline — the marginal cost
+    of the report is the report."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    surv = q124_dedup_keep_best(spark, sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+    kept = (
+        surv.join(
+            docs.select(F.col("doc_id").alias("kept_doc_id"), "source"),
+            "kept_doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("kept_n_chars").cast("long").alias("n_chars_kept"),
+            F.sum("n_members").cast("long").alias("n_members_repr"),
+        )
+    )
+    return per_src.join(kept, "source").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.lit(1.0) - F.col("n_kept") / F.col("n_docs").cast("double")).alias(
+            "dedup_rate"
+        ),
+        "n_chars_total",
+        "n_chars_kept",
+        "n_members_repr",
+    )
