@@ -508,3 +508,35 @@ def test_property_incremental_equals_full(spark, data):
         )
     )
     assert inc == full
+
+
+def test_q217_epoch_diff_classifies_churn(spark, tmp_path):
+    """Planted corpus: history docs 1,2 (near-dups, 1 longer -> keeper)
+    and 3 (singleton). Batch doc 5 is a LONGER near-dup of 1 -> after
+    refresh it takes the cluster: 1 is dropped, 5 added, 3 kept
+    (untouched), and the cluster that 5 now heads has a different
+    member count than any epoch-0 cluster headed by 5 (it didn't
+    exist) — no regrouped rows in this picture."""
+    from rds_glue_s3_etl_pipeline_spark.queries.corpus import (
+        q217_snapshot_epoch_diff,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " one", "src1"),
+        (2, base + " two", "src1"),              # near-dup of 1, same length
+        (3, "totally different text with many unique words here ok", "src2"),
+        (5, base + " five extra tail words", "src3"),  # batch (5 % 5 == 0), longer
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    d = d.withColumn("n_chars", F.length("text"))
+    out = str(tmp_path / "docs")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    got = {
+        r["change_type"]: r["n_docs"]
+        for r in q217_snapshot_epoch_diff(spark, out).collect()
+    }
+    assert got.get("added", 0) == 1      # 5 wins the {1,2,5} cluster
+    assert got.get("dropped", 0) == 1    # epoch-0 keeper of {1,2} loses
+    assert got.get("kept", 0) == 1       # 3 untouched
+    assert "regrouped" not in got

@@ -228,3 +228,71 @@ def test_q226_allocation_is_row_exact_at_awkward_n(spark, tmp_path):
         assert got[(s, "train")] == 20
         assert got[(s, "val")] == 2
         assert got[(s, "test")] == 4
+
+
+def test_q219_dbscan_roles_on_a_planted_chain(spark, tmp_path):
+    """5-vector picture: a dense triangle {0,1,2} (all cores), a
+    pendant 3 attached to the triangle (border), and an isolated 4
+    (noise). Same-label so the label blocking is not the variable."""
+    from rds_glue_s3_etl_pipeline_spark.queries.vector6 import (
+        q219_dbscan_embeddings,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [0.99, 0.14, 0.0, 0.0], 1),   # ~cos 0.99 to 0
+        (2, [0.99, 0.0, 0.14, 0.0], 1),   # ~cos 0.99 to 0, 0.98 to 1
+        (3, [0.9, 0.43, 0.0, 0.0], 1),    # close to 1 and 0 but we check role math below
+        (4, [0.0, 0.0, 0.0, 1.0], 1),     # orthogonal: noise
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = str(tmp_path / "emb")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in q219_dbscan_embeddings(spark, out).collect()
+    }
+    # 0,1,2,3 are mutually within eps (cos >= 0.3): all have >= 2
+    # neighbors -> all core, one cluster rooted at min id 0.
+    for v in (0, 1, 2, 3):
+        assert got[v] == ("core", 0)
+    assert got[4] == ("noise", None)
+
+
+def test_q219_border_vs_noise_distinction(spark, tmp_path):
+    """A vector within eps of exactly ONE core is border (inherits the
+    core's cluster); a vector whose only neighbor is NON-core stays
+    noise — the classic DBSCAN asymmetry."""
+    from rds_glue_s3_etl_pipeline_spark.queries.vector6 import (
+        q219_dbscan_embeddings,
+    )
+
+    rows = [
+        # dense pair + hub: 0 has neighbors 1,2 (core); 1,2 have 0 and
+        # each other? make 1,2 orthogonal to each other, only near 0:
+        # deg(0)=2 core; deg(1)=deg(2)=1 non-core -> border via 0.
+        (0, [1.0, 1.0, 0.0, 0.0], 1),
+        (1, [1.0, 0.0, 0.0, 0.0], 1),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        # 5 is near ONLY 6 (non-core, deg 1): both noise.
+        (5, [0.0, 0.0, 1.0, 0.05], 1),
+        (6, [0.0, 0.0, 1.0, -0.05], 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = str(tmp_path / "emb")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in q219_dbscan_embeddings(spark, out).collect()
+    }
+    assert got[0] == ("core", 0)        # singleton-core cluster = own id
+    assert got[1] == ("border", 0)
+    assert got[2] == ("border", 0)
+    # 5 and 6 see each other (cos ~0.995) but neither is core:
+    # deg 1 < 2 -> both noise, never a cluster.
+    assert got[5] == ("noise", None)
+    assert got[6] == ("noise", None)
