@@ -10,6 +10,8 @@ pushdown reach the scan).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,6 +85,25 @@ def load(
         if len(df.inputFiles()) < min(target, 8):
             df = df.repartition(target)
     return df
+
+
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap content fingerprint of one catalog table: (path, mtime,
+    size) per data file. Per-process caches of derived artifacts
+    (corpus snapshots, ANN indexes) key on this so a fixture REBUILT
+    in-process (scale_probe build→run in one process) invalidates the
+    cache instead of silently serving a stale artifact."""
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((path, st.st_mtime_ns, st.st_size),)
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out.append((p, st.st_mtime_ns, st.st_size))
+    return tuple(out)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

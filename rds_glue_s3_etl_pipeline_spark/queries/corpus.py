@@ -336,22 +336,14 @@ _SNAPSHOT_CACHE: dict[tuple[str, tuple], str] = {}
 
 
 def _docs_fingerprint(sf_dir: str) -> tuple:
-    """Cheap content fingerprint of the documents table: (path, mtime,
-    size) per data file. Keying the snapshot cache on this means a
+    """Content fingerprint of the documents table (catalog.
+    table_fingerprint): keying the snapshot cache on this means a
     fixture REBUILT in-process (scale_probe build→run in one process)
     invalidates the cached clustering instead of silently serving a
     stale one (round-7 ADVICE)."""
-    path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    if os.path.isfile(path):
-        st = os.stat(path)
-        return ((path, st.st_mtime_ns, st.st_size),)
-    out = []
-    for root, _dirs, files in os.walk(path):
-        for f in sorted(files):
-            p = os.path.join(root, f)
-            st = os.stat(p)
-            out.append((p, st.st_mtime_ns, st.st_size))
-    return tuple(out)
+    from ..catalog import table_fingerprint
+
+    return table_fingerprint(sf_dir, "documents")
 
 
 def corpus_survivor_snapshot(spark, sf_dir):

@@ -72,6 +72,101 @@ FROM r WHERE rnk <= {_KNN_K}
 _KNN_TARGET_BLOCK = 32
 
 
+# Per-process persisted index: (abs sf_dir, embeddings fingerprint) ->
+# {"dir", "block_cols", "ks", "hint"}. The corpus_survivor_snapshot
+# pattern applied to the ANN family — seven registered queries
+# (q212-q215, q223/q224/q225) consume the SAME trained grid, and a
+# real pipeline builds that index once and queries it many times.
+_KNN_INDEX_CACHE: dict[tuple, dict] = {}
+
+
+def _knn_index(spark, sf_dir) -> dict:
+    """Build-once adaptive-grid index artifact, fingerprint-cached per
+    (process, embeddings content): ``home.parquet`` is the full home
+    assignment (vec_id, embedding, nrm, *block_cols — one row per
+    vector), ``codebook.parquet`` the deepest-level codebook a
+    multi-probe query side rescores against. Training (the expensive,
+    sample-bounded part) runs ONCE under released_blocks — every Lloyd
+    localCheckpoint block is unpinned as soon as the artifact is on
+    disk, so a long-lived service session carries no residue (the q33
+    mechanism, now applicable because consumers read parquet)."""
+    from ..catalog import table_fingerprint
+    from ..operators.similarity import (
+        adaptive_grid,
+        block_sub_assign,
+        block_sub_codebook,
+        kmeans_assign,
+        spherical_kmeans_codebook,
+    )
+    from ..scratch import scratch_dir
+    from ..session import released_blocks
+    from .vector5 import _SUB_BROADCAST_ROWS, _count_rows, _train_slice
+
+    import os
+
+    key = (os.path.abspath(sf_dir), table_fingerprint(sf_dir, "embeddings"))
+    meta = _KNN_INDEX_CACHE.get(key)
+    if meta is not None and os.path.isdir(meta["dir"]):
+        return meta
+
+    idx_dir = scratch_dir("knn_index_")
+    keep = ["vec_id", "embedding", "nrm"]
+    with released_blocks(spark):
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        ks = adaptive_grid(_count_rows(e), _KNN_TARGET_BLOCK, coarse_k=_KM_K)
+        train = _train_slice(e)
+        cent = spherical_kmeans_codebook(
+            train, _init_centroids(train, k=ks[0]), iters=_KM_ITERS
+        )
+        if len(ks) == 1:
+            home = (
+                kmeans_assign(e, cent)
+                .withColumn("nrm", V.norm(F.col("embedding")))
+                .select(*keep, "c_id")
+            )
+            block_cols = ["c_id"]
+            hint = True
+            cent.select("c_id", "cv").write.mode("overwrite").parquet(
+                f"{idx_dir}/codebook.parquet"
+            )
+        else:
+            cur = (
+                kmeans_assign(e, cent)
+                .withColumn("nrm", V.norm(F.col("embedding")))
+                .select(*keep, "c_id")
+            )
+            block_cols = ["c_id"]
+            n_blocks = ks[0]
+            for i, k_sub in enumerate(ks[1:-1]):
+                cur = block_sub_assign(
+                    cur,
+                    tuple(block_cols),
+                    k_sub,
+                    f"s{i}_id",
+                    hint_broadcast=(n_blocks * k_sub <= _SUB_BROADCAST_ROWS),
+                )
+                block_cols.append(f"s{i}_id")
+                n_blocks *= k_sub
+            cur = cur.localCheckpoint(eager=True)
+            last_id = f"s{len(ks) - 2}_id"
+            hint = n_blocks * ks[-1] <= _SUB_BROADCAST_ROWS
+            # Both sides score against the SAME sampled sub-codebook —
+            # persisted so a multi-probe query side reproduces the
+            # assignment bit-for-bit without retraining.
+            sub = block_sub_codebook(cur, tuple(block_cols), ks[-1], last_id)
+            sub.write.mode("overwrite").parquet(f"{idx_dir}/codebook.parquet")
+            sub = spark.read.parquet(f"{idx_dir}/codebook.parquet")
+            home = block_sub_assign(
+                cur, tuple(block_cols), ks[-1], last_id, hint_broadcast=hint, sub=sub
+            )
+            block_cols.append(last_id)
+        home.write.mode("overwrite").parquet(f"{idx_dir}/home.parquet")
+
+    meta = {"dir": idx_dir, "block_cols": block_cols, "ks": ks, "hint": hint}
+    _KNN_INDEX_CACHE[key] = meta
+    return meta
+
+
 def _knn_assignments(spark, sf_dir, nprobe: int = 1):
     """(home, probe, block_cols) of the adaptive-grid k-NN index:
     ``home`` assigns every vector to its deepest block, ``probe`` is
@@ -79,77 +174,36 @@ def _knn_assignments(spark, sf_dir, nprobe: int = 1):
     deepest level (identical to home for nprobe=1). Shared by the
     candidate join (q212-q215, q223/q224) and the incremental refresh
     (q225), which needs the assignment table itself to split members
-    by touched block."""
-    from ..operators.similarity import (
-        adaptive_grid,
-        block_sub_assign,
-        block_sub_codebook,
-        kmeans_assign,
-        kmeans_assign_topn,
-        spherical_kmeans_codebook,
-    )
-    from .vector5 import _SUB_BROADCAST_ROWS, _count_rows, _train_slice
+    by touched block.
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ks = adaptive_grid(_count_rows(e), _KNN_TARGET_BLOCK, coarse_k=_KM_K)
-    train = _train_slice(e)
-    cent = spherical_kmeans_codebook(
-        train, _init_centroids(train, k=ks[0]), iters=_KM_ITERS
-    )
-    keep = ["vec_id", "embedding", "nrm"]
-    if len(ks) == 1:
-        home = (
-            kmeans_assign(e, cent)
-            .withColumn("nrm", V.norm(F.col("embedding")))
-            .select(*keep, "c_id")
-            .localCheckpoint(eager=True)
-        )
-        probe = (
-            kmeans_assign_topn(e, cent, nprobe).select("vec_id", "embedding", "c_id")
-            if nprobe > 1
-            else home
-        )
-        block_cols = ["c_id"]
+    Both sides read the PERSISTED index (_knn_index): home is the
+    parquet artifact verbatim; a multi-probe query side rescores
+    against the persisted deepest-level codebook (same 4dp cosine +
+    id tie-break as the build, so probe ranks are reproduced exactly
+    without retraining)."""
+    from ..operators.similarity import block_sub_assign, kmeans_assign_topn
+
+    meta = _knn_index(spark, sf_dir)
+    home = spark.read.parquet(f"{meta['dir']}/home.parquet")
+    block_cols = list(meta["block_cols"])
+    if nprobe <= 1:
+        return home, home, block_cols
+    cb = spark.read.parquet(f"{meta['dir']}/codebook.parquet")
+    if len(meta["ks"]) == 1:
+        probe = kmeans_assign_topn(
+            home.select("vec_id", "embedding"), cb, nprobe
+        ).select("vec_id", "embedding", "c_id")
     else:
-        cur = (
-            kmeans_assign(e, cent)
-            .withColumn("nrm", V.norm(F.col("embedding")))
-            .select(*keep, "c_id")
+        last_id = block_cols[-1]
+        probe = block_sub_assign(
+            home.drop(last_id),
+            tuple(block_cols[:-1]),
+            meta["ks"][-1],
+            last_id,
+            hint_broadcast=meta["hint"],
+            sub=cb,
+            nprobe=nprobe,
         )
-        block_cols = ["c_id"]
-        n_blocks = ks[0]
-        for i, k_sub in enumerate(ks[1:-1]):
-            cur = block_sub_assign(
-                cur,
-                tuple(block_cols),
-                k_sub,
-                f"s{i}_id",
-                hint_broadcast=(n_blocks * k_sub <= _SUB_BROADCAST_ROWS),
-            )
-            block_cols.append(f"s{i}_id")
-            n_blocks *= k_sub
-        cur = cur.localCheckpoint(eager=True)
-        last_id = f"s{len(ks) - 2}_id"
-        hint = n_blocks * ks[-1] <= _SUB_BROADCAST_ROWS
-        # Both sides score against the SAME sampled sub-codebook.
-        sub = block_sub_codebook(cur, tuple(block_cols), ks[-1], last_id)
-        home = block_sub_assign(
-            cur, tuple(block_cols), ks[-1], last_id, hint_broadcast=hint, sub=sub
-        ).localCheckpoint(eager=True)
-        probe = (
-            block_sub_assign(
-                cur,
-                tuple(block_cols),
-                ks[-1],
-                last_id,
-                hint_broadcast=hint,
-                sub=sub,
-                nprobe=nprobe,
-            )
-            if nprobe > 1
-            else home
-        )
-        block_cols.append(last_id)
     return home, probe, block_cols
 
 
@@ -920,15 +974,20 @@ def q224_leakage_safe_split_grid(spark, sf_dir):
     deepens and block size stays ~{_KNN_TARGET_BLOCK}."""
     from ..operators.graph import connected_components_star
     from ..operators.skew import gated_broadcast
+    from ..scratch import parquet_checkpoint
     from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
 
     e = load(spark, sf_dir, "embeddings").select("vec_id")
-    sym = (
+    # parquet_checkpoint, not localCheckpoint: the returned report has
+    # live lineage into this edge list (the leak re-proof), and a
+    # file-backed intermediate keeps nothing pinned in the block
+    # manager once the query completes (round-9 verdict item #7).
+    sym = parquet_checkpoint(
         _knn_candidates(spark, sf_dir, nprobe=1)
         .withColumn("cs", F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4))
         .filter(F.col("cs") >= _DBSCAN_EPS_COS)
-        .select(F.col("a_id").alias("a"), F.col("nbr_id").alias("b"))
-        .localCheckpoint(eager=True)
+        .select(F.col("a_id").alias("a"), F.col("nbr_id").alias("b")),
+        "q224_sym_",
     )
     cl = connected_components_star(sym, src="a", dst="b").select(
         F.col("id").alias("vec_id"), "cluster_id"

@@ -48,6 +48,24 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
 
 
+def parquet_checkpoint(df, prefix: str):
+    """Materialize a DataFrame to managed-scratch parquet and return
+    the read-back frame — the release-safe alternative to an eager
+    ``localCheckpoint`` for intermediates a query reuses several times.
+
+    Unlike localCheckpoint (whose truncated-lineage RDD becomes
+    unrecoverable once its blocks are unpersisted, so the q33
+    released_blocks mechanism must skip it), the returned frame reads
+    from files: nothing stays pinned in the block manager, and any
+    later stage can recompute from disk. On a real cluster the same
+    call writes a job-scoped object-store prefix.
+    """
+    d = scratch_dir(prefix)
+    path = f"{d}/data.parquet"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def cleanup_now() -> None:
     """Remove the whole scratch root immediately (tests; long-lived
     services between corpus generations). Safe to call repeatedly —
