@@ -603,6 +603,7 @@ _DBSCAN_MIN_NBRS = 2   # core = >= 2 eps-neighbors (minPts 3 counting self)
 
 
 def _q219_oracle() -> str:
+    from ..operators.dbscan import dbscan_oracle_tail
     from .vector import _NEAR_DUP_THRESHOLD, _Q34_ORACLE
 
     assert _NEAR_DUP_THRESHOLD == _DBSCAN_EPS_COS
@@ -615,39 +616,7 @@ sym AS (
   UNION
   SELECT vec_b, vec_a FROM pairs
 ),
-deg AS (SELECT a AS vec_id, COUNT(*) AS d FROM sym GROUP BY a),
-core AS (SELECT vec_id FROM deg WHERE d >= {_DBSCAN_MIN_NBRS}),
-csym AS (
-  SELECT s.a, s.b FROM sym s
-  JOIN core ca ON s.a = ca.vec_id
-  JOIN core cb ON s.b = cb.vec_id
-),
-reach(a, b) AS (
-  SELECT a, b FROM csym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN csym s ON r.b = s.a
-),
-ccl AS (
-  SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
-),
-corecl AS (
-  SELECT c.vec_id, COALESCE(ccl.cluster_id, c.vec_id) AS cluster_id
-  FROM core c LEFT JOIN ccl ON c.vec_id = ccl.vec_id
-),
-border AS (
-  SELECT s.a AS vec_id, MIN(k.cluster_id) AS cluster_id
-  FROM sym s JOIN corecl k ON s.b = k.vec_id
-  WHERE s.a NOT IN (SELECT vec_id FROM core)
-  GROUP BY s.a
-)
-SELECT e.vec_id,
-       CASE WHEN c.vec_id IS NOT NULL THEN 'core'
-            WHEN b.vec_id IS NOT NULL THEN 'border'
-            ELSE 'noise' END AS role,
-       COALESCE(c.cluster_id, b.cluster_id) AS cluster_id
-FROM embeddings e
-LEFT JOIN corecl c ON e.vec_id = c.vec_id
-LEFT JOIN border b ON e.vec_id = b.vec_id
+{dbscan_oracle_tail(_DBSCAN_MIN_NBRS)}
 """
 
 
@@ -671,50 +640,22 @@ def q219_dbscan_embeddings(spark, sf_dir):
     Reference scope: EXT (SURVEY §2.11); no clustering in the
     reference job.
     """
-    from ..operators.graph import connected_components_star
+    from ..operators.dbscan import dbscan_from_edges
     from .vector import q34_cosine_near_dup
 
     e = load(spark, sf_dir, "embeddings").select("vec_id")
     pairs = q34_cosine_near_dup(spark, sf_dir).select("vec_a", "vec_b")
-    sym = pairs.union(
-        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
-    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    core = deg.filter(F.col("d") >= _DBSCAN_MIN_NBRS).select(
-        F.col("a").alias("vec_id")
-    )
-    csym = (
-        sym.join(core.withColumnRenamed("vec_id", "a"), "a")
-        .join(core.withColumnRenamed("vec_id", "b"), "b")
-        .select("a", "b")
-    )
-    ccl = connected_components_star(csym, src="a", dst="b").select(
-        F.col("id").alias("vec_id"), "cluster_id"
-    )
-    corecl = core.join(ccl, "vec_id", "left").select(
-        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
-    )
-    border = (
-        sym.join(
-            corecl.select(F.col("vec_id").alias("b"), "cluster_id"), "b"
+    # distinct: degree counts are duplicate-sensitive, and correctness
+    # must not silently depend on q34 emitting each unordered pair
+    # exactly once (the oracle's SQL UNION dedups; round-9 ADVICE).
+    sym = (
+        pairs.union(
+            pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
         )
-        .join(core.withColumnRenamed("vec_id", "a"), "a", "left_anti")
-        .groupBy("a")
-        .agg(F.min("cluster_id").alias("cluster_id"))
-        .withColumnRenamed("a", "vec_id")
+        .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+        .distinct()
     )
-    return (
-        e.join(corecl.withColumnRenamed("cluster_id", "c_cl"), "vec_id", "left")
-        .join(border.withColumnRenamed("cluster_id", "b_cl"), "vec_id", "left")
-        .select(
-            "vec_id",
-            F.when(F.col("c_cl").isNotNull(), "core")
-            .when(F.col("b_cl").isNotNull(), "border")
-            .otherwise("noise")
-            .alias("role"),
-            F.coalesce("c_cl", "b_cl").alias("cluster_id"),
-        )
-    )
+    return dbscan_from_edges(e, sym, _DBSCAN_MIN_NBRS)
 
 
 # --------------------------------------------------------------------------
@@ -795,9 +736,12 @@ def q221_hard_negatives(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def _q223_oracle() -> str:
-    return f"""
-WITH RECURSIVE {_km_ctes(_KM_K, _KM_ITERS)},
+def _grid_sym_ctes() -> str:
+    """Oracle CTEs producing sym(a, b) = the adaptive grid's
+    within-block eps-edges via the fixed-grid SQL twin (which the
+    adaptive rule reproduces exactly at the sf0.01 fixture) — shared
+    by q223, q228, and the agreement gate."""
+    return f"""{_km_ctes(_KM_K, _KM_ITERS)},
 fin AS (
   SELECT a.vec_id, a.c_id, e.v
   FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
@@ -806,40 +750,15 @@ sym AS (
   SELECT a.vec_id AS a, b.vec_id AS b
   FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
   WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_DBSCAN_EPS_COS}
-),
-deg AS (SELECT a AS vec_id, COUNT(*) AS d FROM sym GROUP BY a),
-core AS (SELECT vec_id FROM deg WHERE d >= {_DBSCAN_MIN_NBRS}),
-csym AS (
-  SELECT s.a, s.b FROM sym s
-  JOIN core ca ON s.a = ca.vec_id
-  JOIN core cb ON s.b = cb.vec_id
-),
-reach(a, b) AS (
-  SELECT a, b FROM csym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN csym s ON r.b = s.a
-),
-ccl AS (
-  SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
-),
-corecl AS (
-  SELECT c.vec_id, COALESCE(ccl.cluster_id, c.vec_id) AS cluster_id
-  FROM core c LEFT JOIN ccl ON c.vec_id = ccl.vec_id
-),
-border AS (
-  SELECT s.a AS vec_id, MIN(k.cluster_id) AS cluster_id
-  FROM sym s JOIN corecl k ON s.b = k.vec_id
-  WHERE s.a NOT IN (SELECT vec_id FROM core)
-  GROUP BY s.a
-)
-SELECT e2.vec_id,
-       CASE WHEN c.vec_id IS NOT NULL THEN 'core'
-            WHEN b.vec_id IS NOT NULL THEN 'border'
-            ELSE 'noise' END AS role,
-       COALESCE(c.cluster_id, b.cluster_id) AS cluster_id
-FROM embeddings e2
-LEFT JOIN corecl c ON e2.vec_id = c.vec_id
-LEFT JOIN border b ON e2.vec_id = b.vec_id
+)"""
+
+
+def _q223_oracle() -> str:
+    from ..operators.dbscan import dbscan_oracle_tail
+
+    return f"""
+WITH RECURSIVE {_grid_sym_ctes()},
+{dbscan_oracle_tail(_DBSCAN_MIN_NBRS)}
 """
 
 
@@ -860,49 +779,19 @@ def q223_dbscan_grid(spark, sf_dir):
     chains re-join through shared members, exactly as in grid
     SemDeDup (q163's measured -1.5% membership at the hub cap).
     """
-    from ..operators.graph import connected_components_star
+    from ..operators.dbscan import dbscan_from_edges
 
     e = load(spark, sf_dir, "embeddings").select("vec_id")
+    # Each directed edge appears exactly once by construction: with
+    # nprobe=1 every vector has ONE home block, so the candidate join
+    # emits (x, y) and (y, x) once each — no dedup shuffle needed.
     sym = (
         _knn_candidates(spark, sf_dir, nprobe=1)
         .withColumn("cs", F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4))
         .filter(F.col("cs") >= _DBSCAN_EPS_COS)
         .select(F.col("a_id").alias("a"), F.col("nbr_id").alias("b"))
     )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    core = deg.filter(F.col("d") >= _DBSCAN_MIN_NBRS).select(
-        F.col("a").alias("vec_id")
-    )
-    csym = (
-        sym.join(core.withColumnRenamed("vec_id", "a"), "a")
-        .join(core.withColumnRenamed("vec_id", "b"), "b")
-        .select("a", "b")
-    )
-    ccl = connected_components_star(csym, src="a", dst="b").select(
-        F.col("id").alias("vec_id"), "cluster_id"
-    )
-    corecl = core.join(ccl, "vec_id", "left").select(
-        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
-    )
-    border = (
-        sym.join(corecl.select(F.col("vec_id").alias("b"), "cluster_id"), "b")
-        .join(core.withColumnRenamed("vec_id", "a"), "a", "left_anti")
-        .groupBy("a")
-        .agg(F.min("cluster_id").alias("cluster_id"))
-        .withColumnRenamed("a", "vec_id")
-    )
-    return (
-        e.join(corecl.withColumnRenamed("cluster_id", "c_cl"), "vec_id", "left")
-        .join(border.withColumnRenamed("cluster_id", "b_cl"), "vec_id", "left")
-        .select(
-            "vec_id",
-            F.when(F.col("c_cl").isNotNull(), "core")
-            .when(F.col("b_cl").isNotNull(), "border")
-            .otherwise("noise")
-            .alias("role"),
-            F.coalesce("c_cl", "b_cl").alias("cluster_id"),
-        )
-    )
+    return dbscan_from_edges(e, sym, _DBSCAN_MIN_NBRS)
 
 
 # --------------------------------------------------------------------------
