@@ -781,17 +781,34 @@ def q223_dbscan_grid(spark, sf_dir):
     """
     from ..operators.dbscan import dbscan_from_edges
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id")
-    # Each directed edge appears exactly once by construction: with
-    # nprobe=1 every vector has ONE home block, so the candidate join
-    # emits (x, y) and (y, x) once each — no dedup shuffle needed.
-    sym = (
-        _knn_candidates(spark, sf_dir, nprobe=1)
+    home, _, block_cols = _knn_assignments(spark, sf_dir, nprobe=1)
+    e = home.select("vec_id")
+    sym = _grid_eps_edges(home, block_cols)
+    return dbscan_from_edges(e, sym, _DBSCAN_MIN_NBRS)
+
+
+def _grid_eps_edges(members, block_cols):
+    """Symmetric eps-edge list (a, b) among an explicit member set:
+    within-block pairs at cosine >= _DBSCAN_EPS_COS. Each directed
+    edge appears exactly once by construction — every vector has ONE
+    home block, so the self-join emits (x, y) and (y, x) once each and
+    no dedup shuffle is needed (the duplicate-sensitivity contract of
+    dbscan_from_edges). Shared by the one-shot build (members = the
+    whole corpus) and the incremental refresh (members = touched
+    blocks only)."""
+    a = members.select(
+        *block_cols, F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
+    )
+    b = members.select(
+        *block_cols, F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v")
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("a_id") != F.col("b_id"))
         .withColumn("cs", F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4))
         .filter(F.col("cs") >= _DBSCAN_EPS_COS)
-        .select(F.col("a_id").alias("a"), F.col("nbr_id").alias("b"))
+        .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
     )
-    return dbscan_from_edges(e, sym, _DBSCAN_MIN_NBRS)
 
 
 # --------------------------------------------------------------------------
@@ -1000,3 +1017,185 @@ def q225_knn_graph_incremental(spark, sf_dir):
     g1 = _knn_block_topk(members, members, block_cols)
     untouched = g0.join(touched, block_cols, "left_anti")
     return untouched.unionByName(g1).select("vec_id", "nbr_id", "rnk", "cs")
+
+
+# --------------------------------------------------------------------------
+# q228: incremental DBSCAN — the blast-radius lifecycle applied to the
+# one family that lacked it (round-9 verdict, next-round item #3).
+# Text dedup (q126), vector dedup (q164), image dedup (q193),
+# snapshots (q211/q217) and the k-NN graph (q225) all have a
+# refresh-not-rebuild form; density clustering now does too.
+# --------------------------------------------------------------------------
+
+
+@query("q228_dbscan_grid_incremental", oracle=_q223_oracle(), tags=("vector", "graph", "pipeline", "EXT"))
+def q228_dbscan_grid_incremental(spark, sf_dir):
+    """Grid-DBSCAN as maintained state: cluster the historical slice
+    (vec_id % {_KNN_INC_MOD} != 0), persist (vec_id, block, role,
+    cluster_id) to parquet, then fold the ingest batch in by
+    re-clustering ONLY the blocks the batch touches — untouched
+    blocks' assignments are read back verbatim. The merged state must
+    hash-match q223's ONE-SHOT oracle, proving refresh ≡ rebuild.
+
+    Why equality holds: the grid's eps-edges are WITHIN-BLOCK by
+    construction, so DBSCAN decomposes exactly per block — degrees,
+    core status, components, and border assignment never cross a block
+    boundary (cluster ids are block-local component minima). A block
+    with no batch member therefore has an identical member set, edge
+    set, and clustering in both epochs; a touched block is recomputed
+    over its full (history ∪ batch) membership. The codebook is the
+    shared persisted index (frozen across epochs — the production
+    contract, same as q225).
+
+    Scale: refresh cost is touched-blocks work only — P(block
+    untouched) = (1-f)^|block| for batch fraction f, so a 1% batch
+    leaves ~72% of 32-member blocks untouched and a 0.01% production
+    batch ~99.7%; the per-block re-cluster is |block|² pair work and a
+    component search bounded by the block. Re-clustering 100 TB of
+    vectors from scratch per nightly batch is the alternative this
+    removes.
+    """
+    from ..operators.dbscan import dbscan_from_edges
+    from ..scratch import parquet_checkpoint
+
+    home, _, block_cols = _knn_assignments(spark, sf_dir, nprobe=1)
+    is_new = F.col("vec_id") % _KNN_INC_MOD == 0
+    hist = home.filter(~is_new)
+    batch = home.filter(is_new)
+
+    def _block_dbscan(members):
+        roles = dbscan_from_edges(
+            members.select("vec_id"), _grid_eps_edges(members, block_cols),
+            _DBSCAN_MIN_NBRS,
+        )
+        # carry the block key so the refresh can split rows by block
+        return roles.join(members.select("vec_id", *block_cols), "vec_id")
+
+    g0 = parquet_checkpoint(_block_dbscan(hist), "q228_dbscan_epoch0_")
+
+    touched = batch.select(*block_cols).distinct()
+    members = home.join(touched, block_cols)  # hist + batch of touched blocks
+    g1 = _block_dbscan(members)
+    untouched = g0.join(touched, block_cols, "left_anti")
+    return untouched.unionByName(g1).select("vec_id", "role", "cluster_id")
+
+
+# --------------------------------------------------------------------------
+# q229: the DBSCAN blocking-policy agreement gate (round-9 verdict,
+# next-round item #4). q223's cross-block-edge loss was argued by
+# analogy to q163's measured -1.5%; this gate MEASURES the grid-vs-
+# exact divergence instead: % role agreement and co-membership pair
+# overlap between the two registered anchors, with a floor.
+# --------------------------------------------------------------------------
+
+_DBSCAN_ROLE_AGREE_MIN = 0.4  # fixture measures 0.496; floor below the band
+
+
+def _q229_oracle() -> str:
+    return f"""
+WITH ex AS ({_q219_oracle()}),
+gr AS ({_q223_oracle()}),
+j AS (
+  SELECT ex.vec_id, ex.role AS re, gr.role AS rg
+  FROM ex JOIN gr USING (vec_id)
+),
+pe AS (
+  SELECT a.vec_id AS u, b.vec_id AS v FROM ex a JOIN ex b
+  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE a.cluster_id IS NOT NULL
+),
+pg AS (
+  SELECT a.vec_id AS u, b.vec_id AS v FROM gr a JOIN gr b
+  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE a.cluster_id IS NOT NULL
+),
+counts AS (
+  SELECT CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS n_vectors,
+         CAST((SELECT SUM(CASE WHEN re = rg THEN 1 ELSE 0 END) FROM j) AS BIGINT)
+           AS n_role_agree,
+         CAST((SELECT COUNT(*) FROM pe) AS BIGINT) AS n_pairs_exact,
+         CAST((SELECT COUNT(*) FROM pg) AS BIGINT) AS n_pairs_grid,
+         CAST((SELECT COUNT(*) FROM pe JOIN pg ON pe.u = pg.u AND pe.v = pg.v)
+              AS BIGINT) AS n_pairs_both
+)
+SELECT n_vectors, n_role_agree,
+       n_role_agree / CAST(n_vectors AS DOUBLE) AS role_agreement,
+       n_pairs_exact, n_pairs_grid, n_pairs_both,
+       n_pairs_both / CAST(n_pairs_exact + n_pairs_grid - n_pairs_both AS DOUBLE)
+         AS pair_jaccard,
+       CASE WHEN n_role_agree / CAST(n_vectors AS DOUBLE)
+                 >= {_DBSCAN_ROLE_AGREE_MIN}
+            THEN 'ok' ELSE 'FAIL agreement' END AS agreement_gate
+FROM counts
+"""
+
+
+@query("q229_dbscan_agreement_gate", oracle=_q229_oracle(), tags=("vector", "graph", "gate", "EXT"))
+def q229_dbscan_agreement_gate(spark, sf_dir):
+    """Measured divergence between the two registered DBSCAN anchors —
+    q219 (exact all-pairs eps-edges WITHIN LABEL blocks) and q223
+    (adaptive-grid within-block eps-edges): per-vector role agreement
+    (gated) plus co-membership pair counts and their Jaccard.
+
+    Honest contract: this is a BLOCKING-POLICY comparison, not an
+    approximation-error bound — neither anchor sees the unblocked
+    edge set. Label blocking hides cross-label eps-pairs; grid
+    blocking hides cross-cell ones. At the fixture the grid (which
+    groups by embedding similarity) finds ~10x the co-membership
+    pairs the label anchor does (1120 vs 112, Jaccard ~0.008) while
+    roles agree on ~50% of vectors — the gate pins those numbers so a
+    regression in either arm (or a silent blocking change) is visible,
+    the way q213 pins k-NN recall.
+
+    Scale: both arms are the registered queries (q219's label blocks
+    are its documented quadratic-anchor contract); the co-membership
+    pair join is quadratic in cluster size — dup-bounded, same as the
+    dup-cluster maps q124 gates."""
+    ex = q219_dbscan_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("role").alias("re"), F.col("cluster_id").alias("ce")
+    )
+    gr = q223_dbscan_grid(spark, sf_dir).select(
+        "vec_id", F.col("role").alias("rg"), F.col("cluster_id").alias("cg")
+    )
+
+    def _pairs(df, cl):
+        a = df.filter(F.col(cl).isNotNull()).select(
+            F.col("vec_id").alias("u"), F.col(cl).alias("c")
+        )
+        b = a.select(F.col("u").alias("v"), "c")
+        return a.join(b, "c").filter(F.col("u") < F.col("v")).select("u", "v")
+
+    j = ex.join(gr, "vec_id")
+    base = j.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("re") == F.col("rg")).cast("long")).alias("n_role_agree"),
+    )
+    pe, pg = _pairs(ex, "ce"), _pairs(gr, "cg")
+    npe = pe.agg(F.count(F.lit(1)).alias("n_pairs_exact"))
+    npg = pg.agg(F.count(F.lit(1)).alias("n_pairs_grid"))
+    nboth = pe.join(pg, ["u", "v"]).agg(F.count(F.lit(1)).alias("n_pairs_both"))
+    role_agreement = F.col("n_role_agree") / F.col("n_vectors").cast("double")
+    return (
+        base.crossJoin(F.broadcast(npe))
+        .crossJoin(F.broadcast(npg))
+        .crossJoin(F.broadcast(nboth))
+        .select(
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("n_role_agree").cast("long").alias("n_role_agree"),
+            role_agreement.alias("role_agreement"),
+            F.col("n_pairs_exact").cast("long").alias("n_pairs_exact"),
+            F.col("n_pairs_grid").cast("long").alias("n_pairs_grid"),
+            F.col("n_pairs_both").cast("long").alias("n_pairs_both"),
+            (
+                F.col("n_pairs_both")
+                / (
+                    F.col("n_pairs_exact")
+                    + F.col("n_pairs_grid")
+                    - F.col("n_pairs_both")
+                ).cast("double")
+            ).alias("pair_jaccard"),
+            F.when(role_agreement >= _DBSCAN_ROLE_AGREE_MIN, F.lit("ok"))
+            .otherwise(F.lit("FAIL agreement"))
+            .alias("agreement_gate"),
+        )
+    )
