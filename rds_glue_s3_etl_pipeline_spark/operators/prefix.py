@@ -90,6 +90,60 @@ def global_row_number(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    part_cols,
+    order_cols,
+    out_col: str = "seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based row number over ``order_cols`` WITHIN each
+    ``part_cols`` group, without any task ever holding a whole group —
+    the partitioned-mode extension of :func:`global_row_number` for
+    stratified ranking where one stratum can approach corpus size (a
+    `row_number() OVER (PARTITION BY g ORDER BY ...)` window puts all
+    of g in one task; a web corpus with an 80% 'en' stratum would put
+    80% of 100 TB there).
+
+    Same two-pass shape: range-partition on (part_cols + order_cols) —
+    a mega-group spans many partitions but each partition holds a
+    bounded slice; per-(partition, group) counts (≤ #partitions +
+    #groups rows: a group adds a row only to partitions it spans);
+    exclusive prefix offsets via a prior-partition join ON THE GROUP
+    KEY (hash join — group count can exceed broadcast size); each
+    partition adds offset + local rank independently.
+
+    ``order_cols`` must totally order rows within a group (include a
+    unique tiebreaker).
+    """
+    pc_names = list(part_cols)  # group key: plain column names only
+    pc = [F.col(c) for c in pc_names]
+    ranged, cols = _ranged(df, [*pc, *order_cols], num_partitions)
+    counts = ranged.groupBy(_PID, *pc_names).agg(F.count(F.lit(1)).alias("__n"))
+    prior = counts.select(
+        *[F.col(c).alias(f"__prior_{c}") for c in pc_names],
+        F.col(_PID).alias("__prior_pid"),
+        F.col("__n").alias("__prior_n"),
+    )
+    cond = F.col("__prior_pid") < F.col(_PID)
+    for c in pc_names:
+        cond = cond & (F.col(f"__prior_{c}") == F.col(c))
+    offsets = (
+        counts.join(prior, cond, "left")
+        .groupBy(_PID, *pc_names)
+        .agg(F.coalesce(F.sum("__prior_n"), F.lit(0)).alias(_OFFSET))
+    )
+    local = F.row_number().over(
+        Window.partitionBy(_PID, *pc_names).orderBy(*cols[len(pc):])
+    )
+    return (
+        ranged.withColumn(_LOCAL, local)
+        .join(offsets, [_PID, *pc_names])
+        .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
 def global_running_sum(
     df: DataFrame,
     order_cols,

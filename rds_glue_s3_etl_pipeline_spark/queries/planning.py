@@ -658,3 +658,46 @@ def q226_stratified_split_exact(spark, sf_dir):
     return sp.groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# q230: q226's mega-stratum form (round-9 verdict item #5). q226's
+# per-stratum window is bounded by stratum size — fine until one
+# stratum approaches corpus size (a web corpus is often 80% 'en'),
+# when PARTITION BY source puts 80% of the data in one task. This is
+# the SAME split computed on the grouped two-pass prefix rank, gated
+# against the identical oracle.
+# --------------------------------------------------------------------------
+
+
+@query("q230_stratified_split_prefix", oracle=_Q226_ORACLE, tags=("text", "pipeline", "EXT"))
+def q230_stratified_split_prefix(spark, sf_dir):
+    """Row-exact 80/10/10 stratified split via operators/prefix.
+    grouped_row_number: range-partition on (source, md5, doc_id), rank
+    per (partition, source) locally, add per-source prefix offsets —
+    no task ever holds a whole stratum, so the plan survives a
+    stratum that IS the corpus. Quotas are the same integer floor
+    math as q226 (per-source totals joined back; engine-exact — see
+    the q226 DuckDB `//` vs Spark `/` gotcha), and the oracle is
+    q226's verbatim: both forms must produce identical counts."""
+    from ..operators.prefix import grouped_row_number
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = d.withColumn(
+        "__k", F.md5(F.col("doc_id").cast("string").cast("binary"))
+    )
+    ranked = grouped_row_number(
+        keyed, ["source"], ["__k", "doc_id"], out_col="r"
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(totals, "source")
+    train_hi = F.floor((F.col("n") * 8) / F.lit(10))
+    val_hi = train_hi + F.floor(F.col("n") / F.lit(10))
+    sp = j.select(
+        "source",
+        F.when(F.col("r") <= train_hi, "train")
+        .when(F.col("r") <= val_hi, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return sp.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))

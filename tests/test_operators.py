@@ -264,6 +264,32 @@ def test_global_row_number_matches_serial(spark):
         assert got[i] == acc
 
 
+def test_grouped_row_number_matches_window(spark):
+    """Per-group two-pass rank == the window form, on a skewed group
+    layout (one group holds 80% of rows — the mega-stratum case the
+    operator exists for) across several range partitions."""
+    from pyspark.sql import Window
+
+    from rds_glue_s3_etl_pipeline_spark.operators.prefix import grouped_row_number
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 5 < 4, F.lit("big")).otherwise(F.lit("small")).alias("g"),
+        ((F.col("id") * 2654435761) % 1000003).alias("k"),
+        F.col("id"),
+    )
+    out = grouped_row_number(df, ["g"], ["k", "id"], out_col="r", num_partitions=7)
+    w = Window.partitionBy("g").orderBy("k", "id")
+    expect = df.withColumn("r", F.row_number().over(w).cast("long"))
+    got = {(r["g"], r["id"]): r["r"] for r in out.collect()}
+    want = {(r["g"], r["id"]): r["r"] for r in expect.collect()}
+    assert got == want
+    # ranks are 1..n_g within each group
+    assert sorted(v for (g, _), v in got.items() if g == "big") == list(range(1, 801))
+    assert sorted(v for (g, _), v in got.items() if g == "small") == list(
+        range(1, 201)
+    )
+
+
 def test_scd2_apply_update_insert_passthrough(spark):
     from rds_glue_s3_etl_pipeline_spark.operators.cdc import scd2_apply
 
