@@ -438,7 +438,12 @@ def ehash_wav(media: DataFrame) -> DataFrame:
     strictly above the clip mean (exact integer cross-multiply:
     sum_f * n > total * n_f), packed into four 16-bit bands. Same
     banded-Hamming dedup contract as the image hash; an external
-    engine reproduces every bit from the source bytes."""
+    engine reproduces every bit from the source bytes.
+
+    Zero-sample clips emit NO row (a fingerprint of silence-of-length-
+    zero is meaningless, and the q220 oracle's generate_series over an
+    empty clip is empty — emitting an all-zero row here would be a
+    latent row-count divergence; round-9 ADVICE)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -446,6 +451,8 @@ def ehash_wav(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 samples = decode_wav16(bytes(payload))["samples"]
                 n = len(samples)
+                if n == 0:
+                    continue
                 e = [0] * 64
                 nf = [0] * 64
                 for i, s in enumerate(samples):

@@ -279,10 +279,13 @@ kept AS (
   FROM surv s JOIN documents d ON s.kept_doc_id = d.doc_id
   GROUP BY d.source
 )
-SELECT p.source, p.n_docs, k.n_kept,
-       1.0 - k.n_kept / CAST(p.n_docs AS DOUBLE) AS dedup_rate,
-       p.n_chars_total, k.n_chars_kept, k.n_members_repr
-FROM per_src p JOIN kept k ON p.source = k.source
+SELECT p.source, p.n_docs,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       1.0 - COALESCE(k.n_kept, 0) / CAST(p.n_docs AS DOUBLE) AS dedup_rate,
+       p.n_chars_total,
+       CAST(COALESCE(k.n_chars_kept, 0) AS BIGINT) AS n_chars_kept,
+       CAST(COALESCE(k.n_members_repr, 0) AS BIGINT) AS n_members_repr
+FROM per_src p LEFT JOIN kept k ON p.source = k.source
 """
 
 
@@ -293,7 +296,12 @@ def q227_dedup_report_card(spark, sf_dir):
     members the source's survivors represent. One broadcast-sized join
     (survivors are dup-bounded) + two map-side-combinable aggregates
     on top of the already-verified dedup pipeline — the marginal cost
-    of the report is the report."""
+    of the report is the report.
+
+    LEFT join + COALESCE (round-9 ADVICE): a source whose every doc
+    loses its cluster to another source's keeper must show
+    n_kept=0 / dedup_rate=1.0 — the most interesting row for a dedup
+    dashboard — not silently vanish from the report."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     surv = q124_dedup_keep_best(spark, sf_dir)
     per_src = docs.groupBy("source").agg(
@@ -312,14 +320,15 @@ def q227_dedup_report_card(spark, sf_dir):
             F.sum("n_members").cast("long").alias("n_members_repr"),
         )
     )
-    return per_src.join(kept, "source").select(
+    n_kept = F.coalesce("n_kept", F.lit(0)).cast("long")
+    return per_src.join(kept, "source", "left").select(
         "source",
         "n_docs",
-        "n_kept",
-        (F.lit(1.0) - F.col("n_kept") / F.col("n_docs").cast("double")).alias(
+        n_kept.alias("n_kept"),
+        (F.lit(1.0) - n_kept / F.col("n_docs").cast("double")).alias(
             "dedup_rate"
         ),
         "n_chars_total",
-        "n_chars_kept",
-        "n_members_repr",
+        F.coalesce("n_chars_kept", F.lit(0)).cast("long").alias("n_chars_kept"),
+        F.coalesce("n_members_repr", F.lit(0)).cast("long").alias("n_members_repr"),
     )

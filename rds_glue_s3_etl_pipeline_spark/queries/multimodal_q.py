@@ -711,7 +711,14 @@ def q220_audio_energy_hash(spark, sf_dir):
     mapInPandas with per-clip state; the oracle rebuilds all 64 bits
     from the source bytes. The banded-Hamming pair join and keep-best
     collapse are q188/q189's operators unchanged — fingerprint columns
-    are the shared contract."""
+    are the shared contract.
+
+    Fixture contract (the q86 one): texts are ASCII, so the oracle's
+    per-CHAR sample synthesis equals the encoder's per-UTF-8-BYTE
+    synthesis; a non-ASCII fixture would shift every sample index and
+    needs a byte-level oracle. Empty texts produce zero-sample clips,
+    which BOTH sides drop (ehash_wav skips them; generate_series over
+    length 0 is empty)."""
     from ..multimodal.codec import attach_wav_payload, ehash_wav
 
     media = attach_wav_payload(load(spark, sf_dir, "documents"))

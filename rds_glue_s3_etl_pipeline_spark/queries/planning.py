@@ -541,6 +541,16 @@ def q216_leakage_safe_split(spark, sf_dir):
     the new assignment — zero by construction, and the query proves it
     rather than asserting it.
 
+    Honest contract (the q223/q224 caveat, which applies here too):
+    "zero leakage" is scoped to q34's LABEL-BLOCKED edge set — a
+    cross-label near-duplicate pair is invisible to both the cluster
+    assignment and the in-query re-proof, so such a pair can still
+    straddle the train fence while n_leaked reads 0. Blocking limits
+    what the zero-leak proof covers; q224's grid form blocks by
+    embedding similarity instead (catching cross-label neighbors,
+    missing cross-cell ones), and q229 measures how differently the
+    two policies cluster.
+
     Scale: edges at 100 TB come from the LSH/banded path (the q34
     all-pairs form is the oracle fixture); CC is large/small-star
     contraction (O(log^2 n) rounds, shuffle volume = edge count);

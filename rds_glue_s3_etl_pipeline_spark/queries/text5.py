@@ -496,8 +496,9 @@ _CONT_N = 3            # word-trigram shingles (eval items are short)
 _CONT_THRESHOLD = 0.2  # flag train docs containing >= 20% of the item
 _CONT_DF_CAP = 64      # candidate stage drops train shingles above this df
 
-_Q218_ORACLE = f"""
-WITH toks AS (
+# Shared oracle CTEs: word-trigram shingle sets split into eval/train
+# sides plus per-eval-doc sizes — the base of q218 and its q231 gate.
+_CONT_CTES = f"""toks AS (
   SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\\s+') AS t
   FROM documents
 ),
@@ -512,7 +513,10 @@ shingles AS (
 ),
 ev AS (SELECT doc_id, sh FROM shingles WHERE source = '{_EVAL_SOURCE}'),
 tr AS (SELECT doc_id, sh FROM shingles WHERE source <> '{_EVAL_SOURCE}'),
-evsz AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
+evsz AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id)"""
+
+_Q218_ORACLE = f"""
+WITH {_CONT_CTES},
 flagged AS (
   SELECT i.eval_doc, i.train_doc,
          i.n_common / CAST(s.n AS DOUBLE) AS containment
@@ -547,6 +551,26 @@ WHERE d.source = '{_EVAL_SOURCE}'
 """
 
 
+def _cont_frames(spark, sf_dir):
+    """(docs, ev, tr, evsz) of the containment pipeline: distinct
+    word-trigram shingles per doc (xxhash64 keys), split into the
+    eval side (doc_id aliased eval_doc) and train side (train_doc),
+    plus per-eval-doc shingle counts. Shared by q218 and its q231
+    recall gate — one shingle pass, two consumers."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sh = (
+        X.exploded_word_shingles(d, "text", "doc_id", _CONT_N)
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .distinct()
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    is_eval = F.col("source") == _EVAL_SOURCE
+    ev = sh.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "h")
+    tr = sh.filter(~is_eval).select(F.col("doc_id").alias("train_doc"), "h")
+    evsz = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n"))
+    return d, ev, tr, evsz
+
+
 @query(
     "q218_containment_decontaminate",
     oracle=_Q218_ORACLE,
@@ -573,18 +597,7 @@ def q218_containment_decontaminate(spark, sf_dir):
 
     Reference scope: EXT (SURVEY §2.11 corpus building / dedup).
     """
-    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    sh = (
-        X.exploded_word_shingles(d, "text", "doc_id", _CONT_N)
-        .select("doc_id", F.xxhash64("sh").alias("h"))
-        .distinct()
-        .join(d.select("doc_id", "source"), "doc_id")
-    )
-    is_eval = F.col("source") == _EVAL_SOURCE
-    ev = sh.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "h")
-    tr = sh.filter(~is_eval).select(F.col("doc_id").alias("train_doc"), "h")
-    evsz = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n"))
-
+    d, ev, tr, evsz = _cont_frames(spark, sf_dir)
     rare = (
         tr.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -619,7 +632,9 @@ def q218_containment_decontaminate(spark, sf_dir):
         F.count(F.lit(1)).alias("n_flagged"),
         F.max("containment").alias("max_containment"),
     )
-    evdocs = d.filter(is_eval).select(F.col("doc_id").alias("eval_doc"))
+    evdocs = d.filter(F.col("source") == _EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_doc")
+    )
     return (
         evdocs.join(agg, "eval_doc", "left")
         .join(best, "eval_doc", "left")
@@ -628,5 +643,163 @@ def q218_containment_decontaminate(spark, sf_dir):
             F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
             F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
             "best_train_doc",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q231: the containment recall gate (round-9 ADVICE). q218's candidate
+# stage drops train shingles with df > _CONT_DF_CAP; a contaminated
+# eval item whose shared trigrams are ALL high-df boilerplate is then
+# invisible to the capped form while the (uncapped) oracle sees it —
+# the fixture hash match proves recall only at fixture df
+# distributions. This gate MEASURES the cap's recall on a bounded
+# eval-doc sample, the q213 pattern: exact arm = uncapped pairs for
+# the sample (sample x corpus, linear), capped arm = q218's candidate
+# stage for the same sample.
+# --------------------------------------------------------------------------
+
+_CONT_SAMPLE = 32
+_CONT_RECALL_MIN = 0.9
+
+
+def _q231_oracle() -> str:
+    return f"""
+WITH {_CONT_CTES},
+q AS (
+  SELECT doc_id FROM documents WHERE source = '{_EVAL_SOURCE}'
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_CONT_SAMPLE}
+),
+evq AS (SELECT e.doc_id, e.sh FROM ev e JOIN q ON e.doc_id = q.doc_id),
+exact AS (
+  SELECT i.eval_doc, i.train_doc
+  FROM (
+    SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc, COUNT(*) AS n_common
+    FROM evq e JOIN tr t ON e.sh = t.sh
+    GROUP BY e.doc_id, t.doc_id
+  ) i
+  JOIN evsz s ON i.eval_doc = s.doc_id
+  WHERE i.n_common / CAST(s.n AS DOUBLE) >= {_CONT_THRESHOLD}
+),
+rare AS (SELECT sh FROM tr GROUP BY sh HAVING COUNT(*) <= {_CONT_DF_CAP}),
+cand AS (
+  SELECT DISTINCT e.doc_id AS eval_doc, t.doc_id AS train_doc
+  FROM evq e JOIN rare r ON e.sh = r.sh JOIN tr t ON t.sh = e.sh
+),
+capped AS (
+  SELECT i.eval_doc, i.train_doc
+  FROM (
+    SELECT c.eval_doc, c.train_doc, COUNT(*) AS n_common
+    FROM cand c
+    JOIN evq e ON e.doc_id = c.eval_doc
+    JOIN tr t ON t.doc_id = c.train_doc AND t.sh = e.sh
+    GROUP BY c.eval_doc, c.train_doc
+  ) i
+  JOIN evsz s ON i.eval_doc = s.doc_id
+  WHERE i.n_common / CAST(s.n AS DOUBLE) >= {_CONT_THRESHOLD}
+),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_eval_sample,
+         CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_flagged_exact,
+         CAST((SELECT COUNT(*) FROM capped) AS BIGINT) AS n_flagged_capped,
+         CAST((SELECT COUNT(*) FROM exact e JOIN capped c
+               ON e.eval_doc = c.eval_doc AND e.train_doc = c.train_doc)
+              AS BIGINT) AS n_hits
+)
+SELECT n_eval_sample, n_flagged_exact, n_flagged_capped, n_hits,
+       CASE WHEN n_flagged_exact = 0 THEN 1.0
+            ELSE n_hits / CAST(n_flagged_exact AS DOUBLE) END AS recall,
+       CASE WHEN (CASE WHEN n_flagged_exact = 0 THEN 1.0
+                       ELSE n_hits / CAST(n_flagged_exact AS DOUBLE) END)
+                 >= {_CONT_RECALL_MIN}
+            THEN 'ok' ELSE 'FAIL recall' END AS recall_gate
+FROM m
+"""
+
+
+@query(
+    "q231_containment_recall_gate",
+    oracle=_q231_oracle(),
+    tags=("text", "dedup", "gate", "EXT"),
+)
+def q231_containment_recall_gate(spark, sf_dir):
+    """Recall of q218's df-capped candidate stage against the uncapped
+    exact form on a deterministic md5-ordered sample of
+    {_CONT_SAMPLE} eval docs: both arms compute the SAME exact
+    containment per pair; they differ only in candidate generation
+    (capped arm sees a pair only through a <= {_CONT_DF_CAP}-df shared
+    trigram). recall = flagged pairs the capped form recovered /
+    exact flagged pairs (1.0 when nothing is flagged), gated at
+    {_CONT_RECALL_MIN}. At the fixture the cap does not bite (recall
+    1.0 — the q218 hash match already implies it); the gate exists for
+    LARGER df distributions, where boilerplate-only contamination is
+    exactly the q218 docstring's blind spot.
+
+    Scale: the exact arm is sample x corpus through the shingle join
+    (eval docs are short; the sample is fixed-size), the capped arm is
+    q218's machinery on the sample — both linear in the train corpus.
+    """
+    d, ev, tr, evsz = _cont_frames(spark, sf_dir)
+    qs = (
+        d.filter(F.col("source") == _EVAL_SOURCE)
+        .orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+        )
+        .limit(_CONT_SAMPLE)
+        .select(F.col("doc_id").alias("eval_doc"))
+    )
+    evq = ev.join(F.broadcast(qs), "eval_doc")
+
+    def _flagged(pairs_with_common):
+        return (
+            pairs_with_common.join(evsz, "eval_doc")
+            .filter(
+                F.col("n_common") / F.col("n").cast("double") >= _CONT_THRESHOLD
+            )
+            .select("eval_doc", "train_doc")
+        )
+
+    exact = _flagged(
+        evq.join(tr, "h")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    rare = (
+        tr.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONT_DF_CAP)
+        .select("h")
+    )
+    cand = (
+        evq.join(rare, "h").join(tr, "h").select("eval_doc", "train_doc").distinct()
+    )
+    capped = _flagged(
+        cand.join(evq, "eval_doc")
+        .join(tr, ["train_doc", "h"])
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_sample = qs.agg(F.count(F.lit(1)).alias("n_eval_sample"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_flagged_exact"))
+    n_capped = capped.agg(F.count(F.lit(1)).alias("n_flagged_capped"))
+    n_hits = exact.join(capped, ["eval_doc", "train_doc"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    recall = F.when(F.col("n_flagged_exact") == 0, F.lit(1.0)).otherwise(
+        F.col("n_hits") / F.col("n_flagged_exact").cast("double")
+    )
+    return (
+        n_sample.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_capped))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            F.col("n_eval_sample").cast("long").alias("n_eval_sample"),
+            F.col("n_flagged_exact").cast("long").alias("n_flagged_exact"),
+            F.col("n_flagged_capped").cast("long").alias("n_flagged_capped"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            recall.alias("recall"),
+            F.when(recall >= _CONT_RECALL_MIN, F.lit("ok"))
+            .otherwise(F.lit("FAIL recall"))
+            .alias("recall_gate"),
         )
     )
