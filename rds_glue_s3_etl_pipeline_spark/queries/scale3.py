@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from .registry import query
+from .registry import O_DSUM, dsum, query
 
 # --------------------------------------------------------------------------
 # q117: mergeable quantile state — the quantile analog of q105's HLL
@@ -100,11 +100,11 @@ def q117_mergeable_quantiles(spark, sf_dir):
 # has a first-class DataFrame.unpivot (MELT); DuckDB has UNPIVOT.
 # --------------------------------------------------------------------------
 
-_Q119_ORACLE = """
+_Q119_ORACLE = f"""
 WITH wide AS (
   SELECT l_returnflag,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) AS sum_price,
+         {O_DSUM('l_quantity')} AS sum_qty,
+         {O_DSUM('l_extendedprice')} AS sum_price,
          CAST(COUNT(*) AS DOUBLE) AS n_items
   FROM lineitem GROUP BY l_returnflag
 )
@@ -118,15 +118,13 @@ def q119_unpivot(spark, sf_dir):
     """Wide→long melt of per-flag measures via DataFrame.unpivot —
     constant-width output schema regardless of measure count, no
     self-union of N scans (the naive melt reads the table once per
-    measure; unpivot reads it once, total)."""
+    measure; unpivot reads it once, total). Sums take the dsum string
+    hop: the bare decimal→double cast drifted 1 ulp from DuckDB once
+    sum_price crossed ~1e10 (caught by the round-10 sf0.1 sweep)."""
     li = load(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("decimal(24,8)"))
-        .cast("double")
-        .alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(24,8)"))
-        .cast("double")
-        .alias("sum_price"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).cast("double").alias("n_items"),
     )
     return wide.unpivot(

@@ -369,7 +369,13 @@ def q213_knn_recall_gate(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _KNN_NPROBE = 2
-_KNN_MP_RECALL_MIN = 0.4  # above q213 floor, below the fixture 0.46-0.64 band
+# Floor below the measured MULTI-SCALE band, not just the fixture's:
+# fixture ~0.51, sf0.1 0.365 (deeper tree: the deepest level there has
+# only 2 sub-cells, so nprobe=2 probes both and the lift over nprobe=1
+# is small — 0.365 vs 0.349), and still above a broken index (~0.1).
+# Round 10 lowered 0.4 -> 0.32 after the sf0.1 sweep fired the
+# fixture-calibrated floor on a healthy index.
+_KNN_MP_RECALL_MIN = 0.32
 
 
 def _q214_oracle() -> str:
@@ -1088,7 +1094,11 @@ def q228_dbscan_grid_incremental(spark, sf_dir):
 # overlap between the two registered anchors, with a floor.
 # --------------------------------------------------------------------------
 
-_DBSCAN_ROLE_AGREE_MIN = 0.4  # fixture measures 0.496; floor below the band
+# Floor below the measured MULTI-SCALE band: fixture 0.496, sf0.1
+# 0.357, 10x 0.741 — the two blocking policies agree more where label
+# structure dominates density. Round 10 lowered 0.4 -> 0.3 after the
+# sf0.1 sweep fired the fixture-calibrated floor on healthy anchors.
+_DBSCAN_ROLE_AGREE_MIN = 0.3
 
 
 def _q229_oracle() -> str:

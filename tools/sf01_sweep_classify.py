@@ -1,0 +1,87 @@
+"""Classify the sf0.1 full-sweep artifact (round-9 verdict item #8).
+
+The 226-query sweep had only ever run at sf0.01 — the scale where the
+adaptive-grid queries coincide BY DESIGN with their fixed-grid SQL
+twins (the q163/q149 equality pattern). Running it at sf0.1 separates
+two failure classes:
+
+* EXPECTED divergence: the oracle encodes the pinned sf0.01 grid; the
+  adaptive rule deepens the tree beyond fixture scale by documented
+  contract. Each such query names the GATE that measures the
+  divergence honestly instead of hash-matching it.
+* UNEXPECTED: everything else — real cross-engine drift. The round-10
+  clean run must have ZERO of these (the first raw run caught exactly
+  one: q119's bare decimal→double cast drifting 1 ulp at ~1e10 —
+  fixed with the dsum string hop).
+
+Usage:
+  python tools/sf01_sweep_classify.py ORACLE_FULL_r10_sf01_raw.json \
+      ORACLE_FULL_r10_sf01.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# The adaptive-grid fixture-equality family: oracles pin the sf0.01
+# grid; beyond fixture scale the tree deepens by design (each
+# docstring says so; SCALE.md measures both laws). The named gate is
+# the query whose SPARK-side gate column stays green at any scale.
+_FIXTURE_PINNED: dict[str, str] = {
+    "q163_semantic_dedup_adaptive": "gated by q166/q167 (recall + survivor agreement)",
+    "q164_incremental_vector_dedup_adaptive": "gated by q166 (adaptive-vs-exact recall)",
+    "q165_vector_dedup_tree_probe": "gated by q166; depth-2 form bit-verified at fixture",
+    "q166_vector_dedup_recall_gate": "IS the gate — its Spark-side recall_gate column stays green; only the fixed-grid oracle twin diverges",
+    "q167_semantic_dedup_grid_gate": "IS the gate — runs both arms by contract",
+    "q169_adaptive_grid_report": "reports the adaptive tree itself (deeper than the pinned twin beyond fixture)",
+    "q212_knn_graph_blocked": "gated by q213 (recall vs exact brute force)",
+    "q213_knn_recall_gate": "IS the gate — Spark-side recall_gate green at sf0.1",
+    "q214_knn_multiprobe_gate": "IS the gate — Spark-side recall_gate green at sf0.1",
+    "q215_label_propagation_audit": "consumes q212's graph; blocked contract priced by q213",
+    "q223_dbscan_grid": "gated by q229 (agreement vs the exact anchor)",
+    "q224_leakage_safe_split_grid": "grid twin of q216; q229 measures the blocking divergence",
+    "q225_knn_graph_incremental": "refresh ≡ rebuild holds at ANY scale vs q212's LIVE form; only the fixed-grid SQL twin diverges",
+    "q228_dbscan_grid_incremental": "refresh ≡ rebuild holds at ANY scale vs q223's LIVE form; only the fixed-grid SQL twin diverges",
+    "q229_dbscan_agreement_gate": "IS the gate — Spark-side agreement_gate green at sf0.1",
+}
+
+
+def main() -> int:
+    raw_path, out_path = sys.argv[1], sys.argv[2]
+    d = json.load(open(raw_path))
+    unexpected = []
+    for name, rec in d["queries"].items():
+        if rec["status"] != "fail":
+            continue
+        reason = _FIXTURE_PINNED.get(name)
+        if reason is not None:
+            rec["status"] = "expected_divergence"
+            rec["why"] = (
+                "oracle pins the sf0.01 adaptive-grid form (q163/q149 "
+                "equality pattern); " + reason
+            )
+        else:
+            unexpected.append(name)
+    d["n_expected_divergence"] = sum(
+        1 for r in d["queries"].values() if r["status"] == "expected_divergence"
+    )
+    d["n_unexpected_fail"] = len(unexpected)
+    d["unexpected"] = unexpected
+    d["note"] = (
+        "sf0.1 full sweep: every failure must be a documented "
+        "fixture-pinned adaptive-grid divergence with a named gate; "
+        "n_unexpected_fail must be 0."
+    )
+    with open(out_path, "w") as f:
+        json.dump(d, f, indent=1)
+    print(
+        f"{d['n_total']} total, {d['n_fail']} raw fails -> "
+        f"{d['n_expected_divergence']} expected divergences, "
+        f"{len(unexpected)} UNEXPECTED: {unexpected}"
+    )
+    return 1 if unexpected else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
