@@ -784,22 +784,33 @@ def q223_dbscan_grid(spark, sf_dir):
     density REGIONS split across blocks reappear when border/core
     chains re-join through shared members, exactly as in grid
     SemDeDup (q163's measured -1.5% membership at the hub cap).
+
+    Physical plan (round 10): components of grid eps-edges are
+    CONFINED to blocks, so the component search is a per-block
+    union-find in one applyInPandas pass (operators/dbscan.
+    dbscan_blocked — integer ids only, floats stay JVM-side) instead
+    of O(log² n) star-contraction rounds, whose fixed per-round
+    shuffles dominated the wall at the 10× probe. q219 keeps the
+    distributed CC: its label blocks are unbounded.
     """
-    from ..operators.dbscan import dbscan_from_edges
+    from ..operators.dbscan import dbscan_blocked
 
     home, _, block_cols = _knn_assignments(spark, sf_dir, nprobe=1)
     e = home.select("vec_id")
     sym = _grid_eps_edges(home, block_cols)
-    return dbscan_from_edges(e, sym, _DBSCAN_MIN_NBRS)
+    return dbscan_blocked(e, sym, _DBSCAN_MIN_NBRS, block_cols)
 
 
 def _grid_eps_edges(members, block_cols):
-    """Symmetric eps-edge list (a, b) among an explicit member set:
-    within-block pairs at cosine >= _DBSCAN_EPS_COS. Each directed
-    edge appears exactly once by construction — every vector has ONE
-    home block, so the self-join emits (x, y) and (y, x) once each and
-    no dedup shuffle is needed (the duplicate-sensitivity contract of
-    dbscan_from_edges). Shared by the one-shot build (members = the
+    """Symmetric eps-edge list (*block_cols, a, b) among an explicit
+    member set: within-block pairs at cosine >= _DBSCAN_EPS_COS. Each
+    directed edge appears exactly once by construction — every vector
+    has ONE home block, so the self-join emits (x, y) and (y, x) once
+    each and no dedup shuffle is needed (the duplicate-sensitivity
+    contract of the dbscan operators). The cosine and its 4dp round
+    stay JVM-side here — the downstream per-block union-find
+    (dbscan_blocked) sees only integer ids, so no cross-engine float
+    drift is possible. Shared by the one-shot build (members = the
     whole corpus) and the incremental refresh (members = touched
     blocks only)."""
     a = members.select(
@@ -813,7 +824,7 @@ def _grid_eps_edges(members, block_cols):
         .filter(F.col("a_id") != F.col("b_id"))
         .withColumn("cs", F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4))
         .filter(F.col("cs") >= _DBSCAN_EPS_COS)
-        .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+        .select(*block_cols, F.col("a_id").alias("a"), F.col("b_id").alias("b"))
     )
 
 
@@ -883,28 +894,28 @@ def q224_leakage_safe_split_grid(spark, sf_dir):
     clusters hashed to one split, zero-leak re-proof in the report.
     The oracle encodes the fixed {_KM_K}-cell grid which adaptive_grid
     reproduces exactly at the fixture; beyond fixture scale the tree
-    deepens and block size stays ~{_KNN_TARGET_BLOCK}."""
-    from ..operators.graph import connected_components_star
-    from ..operators.skew import gated_broadcast
+    deepens and block size stays ~{_KNN_TARGET_BLOCK}.
+
+    Physical plan (round 10): grid eps-components are block-confined,
+    so the clustering is dbscan_blocked's per-block union-find with
+    min_nbrs=1 (every edge endpoint 'core' → plain connected
+    components, cluster = component min) — one applyInPandas pass over
+    integer edges instead of star-contraction rounds, same trade as
+    q223's."""
+    from ..operators.dbscan import dbscan_blocked
     from ..scratch import parquet_checkpoint
     from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    home, _, block_cols = _knn_assignments(spark, sf_dir, nprobe=1)
+    e = home.select("vec_id")
     # parquet_checkpoint, not localCheckpoint: the returned report has
     # live lineage into this edge list (the leak re-proof), and a
     # file-backed intermediate keeps nothing pinned in the block
     # manager once the query completes (round-9 verdict item #7).
     sym = parquet_checkpoint(
-        _knn_candidates(spark, sf_dir, nprobe=1)
-        .withColumn("cs", F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4))
-        .filter(F.col("cs") >= _DBSCAN_EPS_COS)
-        .select(F.col("a_id").alias("a"), F.col("nbr_id").alias("b")),
-        "q224_sym_",
+        _grid_eps_edges(home, block_cols), "q224_sym_"
     )
-    cl = connected_components_star(sym, src="a", dst="b").select(
-        F.col("id").alias("vec_id"), "cluster_id"
-    )
-    assigned = e.join(gated_broadcast(cl), "vec_id", "left").withColumn(
+    assigned = dbscan_blocked(e, sym, 1, block_cols).withColumn(
         "cluster_id", F.coalesce("cluster_id", "vec_id")
     )
     bucket = F.substring(
@@ -1061,7 +1072,7 @@ def q228_dbscan_grid_incremental(spark, sf_dir):
     vectors from scratch per nightly batch is the alternative this
     removes.
     """
-    from ..operators.dbscan import dbscan_from_edges
+    from ..operators.dbscan import dbscan_blocked
     from ..scratch import parquet_checkpoint
 
     home, _, block_cols = _knn_assignments(spark, sf_dir, nprobe=1)
@@ -1070,9 +1081,9 @@ def q228_dbscan_grid_incremental(spark, sf_dir):
     batch = home.filter(is_new)
 
     def _block_dbscan(members):
-        roles = dbscan_from_edges(
+        roles = dbscan_blocked(
             members.select("vec_id"), _grid_eps_edges(members, block_cols),
-            _DBSCAN_MIN_NBRS,
+            _DBSCAN_MIN_NBRS, block_cols,
         )
         # carry the block key so the refresh can split rows by block
         return roles.join(members.select("vec_id", *block_cols), "vec_id")
