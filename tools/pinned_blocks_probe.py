@@ -44,6 +44,8 @@ FAMILY = [
     "q223_dbscan_grid",
     "q224_leakage_safe_split_grid",
     "q225_knn_graph_incremental",
+    "q228_dbscan_grid_incremental",
+    "q229_dbscan_agreement_gate",
 ]
 
 
