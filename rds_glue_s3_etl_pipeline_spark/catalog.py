@@ -97,8 +97,14 @@ def table_fingerprint(sf_dir: str, name: str) -> tuple:
     if os.path.isfile(path):
         st = os.stat(path)
         return ((path, st.st_mtime_ns, st.st_size),)
+    if not os.path.isdir(path):
+        # A missing/typo'd table must fail loudly: os.walk on a
+        # nonexistent path yields nothing, so a cache keyed on the
+        # empty tuple would "hit" against nothing forever.
+        raise FileNotFoundError(f"no such catalog table: {path}")
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs.sort()  # stable visit order for nested partitioned layouts
         for f in sorted(files):
             p = os.path.join(root, f)
             st = os.stat(p)

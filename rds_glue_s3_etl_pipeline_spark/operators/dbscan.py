@@ -82,6 +82,7 @@ def dbscan_blocked(
     min_nbrs: int,
     block_cols,
     id_col: str = "vec_id",
+    max_block_edges: int = 2_000_000,
 ) -> DataFrame:
     """Per-block DBSCAN for edge sets whose components are CONFINED to
     blocks (the adaptive-grid case: eps-edges are within-block by
@@ -104,6 +105,18 @@ def dbscan_blocked(
     and each directed edge exactly once; all FLOAT work (cosine, 4dp
     round) stays JVM-side in the edge generator — the pandas stage
     sees only integer ids, so no cross-engine float drift is possible.
+
+    Skew guard (round-10 ADVICE / verdict item #7): the per-group state
+    is |block|² integer edges, safe only while the adaptive grid holds
+    its ~32-member invariant. A degenerate corpus (mass-duplicate
+    embeddings the geometry cannot split) can concentrate millions of
+    edges in one block, which would stall a single pandas task
+    invisibly. Every task therefore fail-fasts past ``max_block_edges``
+    — and callers who expect skew use :func:`dbscan_blocked_routed`,
+    which sends oversized blocks to the distributed
+    :func:`dbscan_from_edges` path instead (exact, because components
+    are block-confined). The plain form stays zero-extra-jobs for the
+    healthy-grid case the registered queries verify.
     """
     import pandas as pd
 
@@ -113,6 +126,13 @@ def dbscan_blocked(
     ) + f", {id_col} long, role string, cluster_id long"
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_block_edges:
+            raise ValueError(
+                f"dbscan_blocked: block {tuple(key)} has {len(pdf)} edges "
+                f"(> max_block_edges={max_block_edges}) — the blocking "
+                "invariant is broken (degenerate/clone-dense corpus?); "
+                "use dbscan_blocked_routed or dbscan_from_edges"
+            )
         a = pdf["a"].to_numpy()
         b = pdf["b"].to_numpy()
         deg: dict[int, int] = {}
@@ -152,6 +172,80 @@ def dbscan_blocked(
     labelled = sym.groupBy(*bc).applyInPandas(run, schema)
     return (
         ids.join(labelled.select(id_col, "role", "cluster_id"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            "cluster_id",
+        )
+    )
+
+
+def dbscan_blocked_routed(
+    ids: DataFrame,
+    sym: DataFrame,
+    min_nbrs: int,
+    block_cols,
+    id_col: str = "vec_id",
+    max_block_edges: int = 2_000_000,
+) -> DataFrame:
+    """:func:`dbscan_blocked` with skew routing: blocks whose edge
+    count exceeds ``max_block_edges`` go to the distributed
+    :func:`dbscan_from_edges` path; the rest take the per-block
+    union-find. Exact — components are block-confined, so clustering a
+    disjoint subset of blocks separately is the same computation.
+
+    The routing decision needs the per-block edge counts, so ``sym``
+    is materialized once to managed-scratch parquet (callers that
+    already hold a file-backed edge list pay only the re-read) and the
+    oversized KEYS — by definition few — come to the driver. On a
+    healthy grid that list is empty and the whole query reduces to
+    ``dbscan_blocked`` over the materialized edges: zero iterative
+    jobs, nothing pinned. Only the rare skew branch runs the
+    star-contraction CC (whose per-round shuffles are exactly what the
+    oversized block needs spread across the cluster)."""
+    from ..scratch import parquet_checkpoint
+
+    bc = list(block_cols)
+    sym = parquet_checkpoint(sym, "dbscan_sym_")
+    big_keys = (
+        sym.groupBy(*bc)
+        .agg(F.count(F.lit(1)).alias("__n_edges"))
+        .filter(F.col("__n_edges") > max_block_edges)
+        .select(*bc)
+        .collect()
+    )
+    if not big_keys:
+        return dbscan_blocked(ids, sym, min_nbrs, bc, id_col, max_block_edges)
+
+    is_big = None
+    for row in big_keys:
+        this = F.lit(True)
+        for c in bc:
+            this = this & (F.col(c) == F.lit(row[c]))
+        is_big = this if is_big is None else (is_big | this)
+    sym_small = sym.filter(~is_big)
+    sym_big = sym.filter(is_big).select("a", "b")
+    small_labels = (
+        dbscan_blocked(
+            sym_small.select(F.col("a").alias(id_col)).distinct(),
+            sym_small,
+            min_nbrs,
+            bc,
+            id_col,
+            max_block_edges,
+        )
+        # endpoints with no core neighbor are re-stamped noise in the
+        # final join below, same as members absent from the edge list
+        .filter(F.col("role") != "noise")
+    )
+    big_labels = dbscan_from_edges(
+        sym_big.select(F.col("a").alias(id_col)).distinct(),
+        sym_big,
+        min_nbrs,
+        id_col,
+    ).filter(F.col("role") != "noise")
+    return (
+        ids.join(small_labels.unionByName(big_labels), id_col, "left")
         .select(
             id_col,
             F.coalesce("role", F.lit("noise")).alias("role"),

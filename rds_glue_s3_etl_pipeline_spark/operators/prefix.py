@@ -20,9 +20,13 @@ distributed sort uses:
 Wall-clock is two scans + one range shuffle; no task ever sees more
 than one partition of data, so the same plan holds at 100 TB with
 thousands of partitions. The lineage between the two passes is pinned
-with ``localCheckpoint`` so both jobs observe identical partition
-boundaries; on a real cluster prefer ``persist(DISK_ONLY)`` /
-``checkpoint`` for the pin.
+by materializing the ranged frame (with its ``spark_partition_id``
+stamped as a COLUMN) to managed-scratch parquet, so both jobs observe
+identical partition boundaries AND nothing stays pinned in the block
+manager after the query completes — the round-10 ANN-index lesson
+(session residue from eager localCheckpoints in long-lived shared
+sessions) applied to the prefix family. On a real cluster the same
+call writes a job-scoped object-store prefix.
 """
 
 from __future__ import annotations
@@ -36,13 +40,22 @@ _OFFSET = "__prefix_offset"
 
 
 def _ranged(df: DataFrame, order_cols, num_partitions: int | None):
+    from ..scratch import parquet_checkpoint
+
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
+    # parquet_checkpoint, not localCheckpoint: _PID is materialized as a
+    # COLUMN before the write, and every downstream window/groupBy keys
+    # on that column value (never on physical partition identity), so
+    # the read-back frame is correct under any re-split — and the
+    # returned result frame carries no live lineage into pinned RDD
+    # blocks (the session-residue class round 10 closed for the ANN
+    # family; round-10 ADVICE flagged this path as reintroducing it).
+    ranged = parquet_checkpoint(
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .withColumn(_PID, F.spark_partition_id()),
+        "prefix_ranged_",
     )
     return ranged, cols
 

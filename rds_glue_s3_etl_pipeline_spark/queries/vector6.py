@@ -108,6 +108,15 @@ def _knn_index(spark, sf_dir) -> dict:
     meta = _KNN_INDEX_CACHE.get(key)
     if meta is not None and os.path.isdir(meta["dir"]):
         return meta
+    # Fingerprint miss for a path we indexed before (fixture rebuilt
+    # in-process): evict the superseded entries and their scratch dirs,
+    # or a long-lived service session regenerating corpora grows
+    # disk/memory unboundedly until cleanup_now (round-10 ADVICE).
+    import shutil
+
+    for stale in [k for k in _KNN_INDEX_CACHE if k[0] == key[0] and k != key]:
+        shutil.rmtree(_KNN_INDEX_CACHE[stale]["dir"], ignore_errors=True)
+        del _KNN_INDEX_CACHE[stale]
 
     idx_dir = scratch_dir("knn_index_")
     keep = ["vec_id", "embedding", "nrm"]
@@ -1142,8 +1151,10 @@ counts AS (
 SELECT n_vectors, n_role_agree,
        n_role_agree / CAST(n_vectors AS DOUBLE) AS role_agreement,
        n_pairs_exact, n_pairs_grid, n_pairs_both,
-       n_pairs_both / CAST(n_pairs_exact + n_pairs_grid - n_pairs_both AS DOUBLE)
-         AS pair_jaccard,
+       CASE WHEN n_pairs_exact + n_pairs_grid - n_pairs_both = 0 THEN 1.0
+            ELSE n_pairs_both
+                 / CAST(n_pairs_exact + n_pairs_grid - n_pairs_both AS DOUBLE)
+       END AS pair_jaccard,
        CASE WHEN n_role_agree / CAST(n_vectors AS DOUBLE)
                  >= {_DBSCAN_ROLE_AGREE_MIN}
             THEN 'ok' ELSE 'FAIL agreement' END AS agreement_gate
@@ -1207,14 +1218,27 @@ def q229_dbscan_agreement_gate(spark, sf_dir):
             F.col("n_pairs_exact").cast("long").alias("n_pairs_exact"),
             F.col("n_pairs_grid").cast("long").alias("n_pairs_grid"),
             F.col("n_pairs_both").cast("long").alias("n_pairs_both"),
-            (
+            # zero-guard like the recall gates: both arms finding zero
+            # co-membership pairs is perfect agreement, not NULL (and
+            # DuckDB's 0/0.0 differs from Spark's — latent divergence).
+            F.when(
+                (
+                    F.col("n_pairs_exact")
+                    + F.col("n_pairs_grid")
+                    - F.col("n_pairs_both")
+                )
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(
                 F.col("n_pairs_both")
                 / (
                     F.col("n_pairs_exact")
                     + F.col("n_pairs_grid")
                     - F.col("n_pairs_both")
                 ).cast("double")
-            ).alias("pair_jaccard"),
+            )
+            .alias("pair_jaccard"),
             F.when(role_agreement >= _DBSCAN_ROLE_AGREE_MIN, F.lit("ok"))
             .otherwise(F.lit("FAIL agreement"))
             .alias("agreement_gate"),

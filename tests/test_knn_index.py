@@ -46,3 +46,14 @@ def test_knn_index_build_once_and_invalidate(spark, tmp_path):
     m3 = _knn_index(spark, out)
     assert m3["dir"] != m1["dir"]
     assert spark.read.parquet(f"{m3['dir']}/home.parquet").count() == 50
+
+    # The superseded entry must be EVICTED (dict key dropped, scratch
+    # dir removed) — a long-lived service rebuilding corpora must not
+    # grow disk/memory unboundedly (round-10 ADVICE).
+    import os
+
+    from rds_glue_s3_etl_pipeline_spark.queries.vector6 import _KNN_INDEX_CACHE
+
+    assert not os.path.isdir(m1["dir"])
+    path_keys = [k for k in _KNN_INDEX_CACHE if k[0] == os.path.abspath(out)]
+    assert len(path_keys) == 1

@@ -35,6 +35,16 @@ from rds_glue_s3_etl_pipeline_spark.session import (  # noqa: E402
 )
 
 FAMILY = [
+    # prefix family (operators/prefix.py): round-10 ADVICE flagged the
+    # _ranged localCheckpoint as reintroducing the residue class via
+    # q230; round 11 moved the pin to parquet_checkpoint — these five
+    # cover every prefix entry point (global/grouped row_number,
+    # running sum via q75/q130, and q173's ranked-table consumer).
+    "q45_ordered_projection",
+    "q75_global_running_revenue",
+    "q130_token_shards",
+    "q173_quality_calibration",
+    "q230_stratified_split_prefix",
     "q212_knn_graph_blocked",
     "q213_knn_recall_gate",
     "q214_knn_multiprobe_gate",
