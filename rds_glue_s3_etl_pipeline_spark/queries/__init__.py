@@ -32,6 +32,7 @@ from . import vector3  # noqa: F401
 from . import vector4  # noqa: F401
 from . import vector5  # noqa: F401
 from . import vector6  # noqa: F401
+from . import vector7  # noqa: F401
 from . import multimodal_q  # noqa: F401
 from . import scale2  # noqa: F401
 from . import scale3  # noqa: F401
