@@ -109,14 +109,12 @@ def _knn_index(spark, sf_dir) -> dict:
     if meta is not None and os.path.isdir(meta["dir"]):
         return meta
     # Fingerprint miss for a path we indexed before (fixture rebuilt
-    # in-process): evict the superseded entries and their scratch dirs,
-    # or a long-lived service session regenerating corpora grows
-    # disk/memory unboundedly until cleanup_now (round-10 ADVICE).
-    import shutil
-
-    for stale in [k for k in _KNN_INDEX_CACHE if k[0] == key[0] and k != key]:
-        shutil.rmtree(_KNN_INDEX_CACHE[stale]["dir"], ignore_errors=True)
-        del _KNN_INDEX_CACHE[stale]
+    # in-process): collect the superseded entries now, but defer the
+    # rmtree until AFTER the new build commits (round-11 ADVICE) — a
+    # failed rebuild must leave the old cached index usable, and a
+    # still-live DataFrame returned from the old meta must not lose
+    # its home.parquet mid-plan before the replacement exists.
+    stale_keys = [k for k in _KNN_INDEX_CACHE if k[0] == key[0] and k != key]
 
     idx_dir = scratch_dir("knn_index_")
     keep = ["vec_id", "embedding", "nrm"]
@@ -180,6 +178,15 @@ def _knn_index(spark, sf_dir) -> dict:
 
     meta = {"dir": idx_dir, "block_cols": block_cols, "ks": ks, "hint": hint}
     _KNN_INDEX_CACHE[key] = meta
+    # Build committed — only now is it safe to evict superseded indexes
+    # (a long-lived service session regenerating corpora must not grow
+    # disk/memory unboundedly, but must also never lose its last good
+    # index to a failed rebuild).
+    import shutil
+
+    for stale in stale_keys:
+        shutil.rmtree(_KNN_INDEX_CACHE[stale]["dir"], ignore_errors=True)
+        del _KNN_INDEX_CACHE[stale]
     return meta
 
 
@@ -276,6 +283,19 @@ def _knn_assignments(spark, sf_dir, nprobe: int = 1):
         hint_broadcast=meta["hint"],
         sub=cb,
         nprobe=nprobe * nprobe,
+    )
+    # Always reserve the query's own HOME block (round-11 ADVICE): with
+    # fanout-8 parents, up to nprobe x 8 cross-parent sub-cells compete
+    # for the nprobe² slots, so the global top-k could drop the home
+    # block and lose the query's co-located neighbors. The union makes
+    # probe ⊇ home by construction — a strict recall improvement at
+    # ≤ +1 block per query — and the dedup keeps each (vec_id, block)
+    # once so candidate pairs stay exactly-once downstream.
+    keep_cols = ["vec_id", "embedding", *block_cols]
+    probe = (
+        probe.select(*keep_cols)
+        .unionByName(home.select(*keep_cols))
+        .dropDuplicates(["vec_id", *block_cols])
     )
     return home, probe, block_cols
 
@@ -451,10 +471,17 @@ _KNN_NPROBE = 3
 #   sf0.01  0.396  0.505  0.583  0.620   (cand 15k/31k/47k/62k)
 #   sf0.1   0.349  0.432  0.542  0.651   (cand 110k/331k/643k/998k)
 # nprobe=3 keeps recall >= ~0.54 at BOTH scales (the fixture band),
-# with candidates ~N x 129 at sf0.1 — linear. The floor goes back to
-# the round-9 value: it still catches a broken index (~0.1) and a
-# regressed probe rule (~0.35) at any sweep scale.
-_KNN_MP_RECALL_MIN = 0.4
+# with candidates ~N x 129 at sf0.1 — linear. Round 12: the probe
+# frame now always reserves the query's HOME block (round-11 ADVICE —
+# the depth-scaled top-nprobe² could drop it under cross-parent
+# competition; measured unchanged at sf0.1, 0.5417 — the drop was
+# rare — but now impossible by construction); and the floor moves
+# 0.4 → 0.38 for real margin below the weakest measured scale (10×
+# measured 0.417 with only 0.017 of headroom over the old floor — a
+# benign corpus-regen wobble could have fired the gate on a healthy
+# index). 0.38 still sits far above the broken-index (~0.1) and
+# regressed-probe (~0.35 at sf0.1 pre-fix) signatures.
+_KNN_MP_RECALL_MIN = 0.38
 
 
 def _q214_oracle() -> str:
@@ -683,33 +710,79 @@ def q215_label_propagation_audit(spark, sf_dir):
 # to keep.
 # --------------------------------------------------------------------------
 
-_DBSCAN_EPS_COS = 0.3  # eps-neighbor = cosine >= 0.3 (q34's verified edge set)
+# eps-neighbor = cosine >= 0.4. Round 12 re-anchored the family from
+# 0.3 (q34's near-dup threshold) to 0.4: round 11's truth anchor
+# (q232/q233, vector7) PROVED the 0.3 eps-graph percolates — 990
+# unordered fixture edges form one 483-member giant component, the
+# whole corpus at sf0.1 — so blocked DBSCAN there was a within-block
+# density summary recovering <3% of true co-membership pairs, and
+# every cluster-hashed split leaked ~100% vs truth. At 0.4 the graph
+# is sparse (59 unordered fixture edges / 920 at sf0.1, mean degree
+# ~0.24/0.92): real clusters, truth-faithful blocking, leak-safe
+# splits. q235 (vector7) is the registered percolation pre-flight that
+# keeps a future corpus from silently re-entering the degenerate
+# regime; q34 stays the 0.3 near-dup DEDUP relation — a different
+# operator with different semantics.
+_DBSCAN_EPS_COS = 0.4
 _DBSCAN_MIN_NBRS = 2   # core = >= 2 eps-neighbors (minPts 3 counting self)
+
+
+def _label_sym_ctes() -> str:
+    """Oracle CTEs producing sym(a, b) = the label-blocked eps-edge
+    list at the FAMILY eps — q219's twin. Each vector has exactly one
+    label, so the a < b join emits each unordered pair once and the
+    symmetric union needs no dedup."""
+    return f"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_DBSCAN_EPS_COS}
+),
+sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p)"""
+
+
+def _label_eps_edges(spark, sf_dir):
+    """Symmetric label-blocked eps-edge list (a, b) at the family eps:
+    every unordered within-label pair with 4dp-rounded cosine >=
+    {_DBSCAN_EPS_COS}, both orientations. Each directed edge appears
+    exactly once — a vector has ONE label, so the a < b self-join
+    emits each unordered pair once (the duplicate-sensitivity contract
+    of the dbscan operators). Quadratic per label by q219's documented
+    anchor contract. Decoupled from q34 in round 12: the near-dup
+    DEDUP relation stays at 0.3 while the density family runs at the
+    non-percolating {_DBSCAN_EPS_COS}."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = e.select(
+        "label", F.col("vec_id").alias("a"), F.col("embedding").alias("a_v")
+    )
+    b = e.select(
+        "label", F.col("vec_id").alias("b"), F.col("embedding").alias("b_v")
+    )
+    p = (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cs", F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4))
+        .filter(F.col("cs") >= _DBSCAN_EPS_COS)
+        .select("a", "b")
+    )
+    return p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
 
 def _q219_oracle() -> str:
     from ..operators.dbscan import dbscan_oracle_tail
-    from .vector import _NEAR_DUP_THRESHOLD, _Q34_ORACLE
 
-    assert _NEAR_DUP_THRESHOLD == _DBSCAN_EPS_COS
     return f"""
-WITH RECURSIVE pairs AS (
-  SELECT vec_a, vec_b FROM ({_Q34_ORACLE})
-),
-sym AS (
-  SELECT vec_a AS a, vec_b AS b FROM pairs
-  UNION
-  SELECT vec_b, vec_a FROM pairs
-),
+WITH RECURSIVE {_label_sym_ctes()},
 {dbscan_oracle_tail(_DBSCAN_MIN_NBRS)}
 """
 
 
 @query("q219_dbscan_embeddings", oracle=_q219_oracle(), tags=("vector", "graph", "EXT"))
 def q219_dbscan_embeddings(spark, sf_dir):
-    """Distributed DBSCAN over the eps-graph (eps-neighbor = cosine >=
-    {_DBSCAN_EPS_COS}, q34's verified edge set): core = >=
-    {_DBSCAN_MIN_NBRS} neighbors (one degree aggregate), clusters =
+    """Distributed DBSCAN over the label-blocked eps-graph
+    (eps-neighbor = 4dp cosine >= {_DBSCAN_EPS_COS} within a label —
+    the non-percolating family eps, re-anchored in round 12): core =
+    >= {_DBSCAN_MIN_NBRS} neighbors (one degree aggregate), clusters =
     star-contraction CC over core-core edges only, border = non-core
     with a core neighbor (assigned to its MIN core cluster — the
     deterministic version of DBSCAN's order-dependent border tie),
@@ -726,21 +799,9 @@ def q219_dbscan_embeddings(spark, sf_dir):
     reference job.
     """
     from ..operators.dbscan import dbscan_from_edges
-    from .vector import q34_cosine_near_dup
 
     e = load(spark, sf_dir, "embeddings").select("vec_id")
-    pairs = q34_cosine_near_dup(spark, sf_dir).select("vec_a", "vec_b")
-    # distinct: degree counts are duplicate-sensitive, and correctness
-    # must not silently depend on q34 emitting each unordered pair
-    # exactly once (the oracle's SQL UNION dedups; round-9 ADVICE).
-    sym = (
-        pairs.union(
-            pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
-        )
-        .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
-        .distinct()
-    )
-    return dbscan_from_edges(e, sym, _DBSCAN_MIN_NBRS)
+    return dbscan_from_edges(e, _label_eps_edges(spark, sf_dir), _DBSCAN_MIN_NBRS)
 
 
 # --------------------------------------------------------------------------
@@ -811,100 +872,168 @@ def q221_hard_negatives(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q223: DBSCAN on the ADAPTIVE-GRID eps-graph — q219's registered
-# scale form (the q149 -> q163 pattern). q219's edge set is the
-# label-blocked all-pairs join: exact, but quadratic per label. Here
-# the eps-edges are the within-block pairs of the adaptive grid
-# (block ~32 members at any N -> edge enumeration is linear), and the
-# oracle mirrors the SAME blocking via the fixed-grid SQL twin, which
-# the adaptive rule reproduces exactly at the sf0.01 fixture.
+# q223: DBSCAN on the MULTI-PROBE eps-graph — q219's registered scale
+# form. q219's edge set is the label-blocked all-pairs join: exact,
+# but quadratic per label. Here eps-edge candidates come from the
+# adaptive-grid index with the SAME depth-scaled multi-probe rule the
+# k-NN family dials (q214): query side probes its top-_DBSCAN_NPROBE
+# blocks, corpus side stays home-indexed — candidate work is
+# N x nprobe² x block, LINEAR. Round 12 moved the family here from
+# nprobe=1 within-block pairs after measuring the truth gates at the
+# re-anchored eps 0.4: home-block-only edges recovered 37% of true
+# eps-edges at the fixture (22/59) and 0.7% of true co-membership
+# pairs at sf0.1; the nprobe=4 probe set recovers ~0.9 of true edges
+# and 1.000/0.304 of true pairs (fixture/sf0.1) at linear cost, with
+# PRECISION EXACTLY 1 (recovered edges ⊆ true edges, so multi-probe
+# components only ever REFINE truth components — no false merges).
 # --------------------------------------------------------------------------
 
+# Probe budget for eps-edge generation, chosen from the measured
+# recall dial at eps 0.4 (round 12, tools/dbscan_mp_dial.py):
+#   nprobe            1      2      3      4      5      6
+#   edge recall f/s01 .37/.13 .71/.44 .81/.66 .90/.79 —/.86 —/.90
+#   pair recall f/s01 .22/.007 .60/.06 .82/.19 1.0/.30 —/.39 —/.56
+# nprobe=4 is the knee at the fixture (pair recall 1.0) with sf0.1
+# edge recall ~0.8; the sf0.1 pair metric stays chain-limited because
+# that corpus sits near criticality at eps 0.4 (mean degree 0.92, max
+# true component 75 — one missed edge in a long chain drops its C(m,2)
+# co-memberships combinatorially). q233 floors the measured band.
+_DBSCAN_NPROBE = 4
 
-def _grid_sym_ctes() -> str:
-    """Oracle CTEs producing sym(a, b) = the adaptive grid's
-    within-block eps-edges via the fixed-grid SQL twin (which the
-    adaptive rule reproduces exactly at the sf0.01 fixture) — shared
-    by q223, q228, and the agreement gate."""
+
+def _mp_sym_ctes() -> str:
+    """Oracle CTEs producing sym(a, b) = the multi-probe eps-edge list
+    via the fixed-grid SQL twin: probe = each vector's top-
+    _DBSCAN_NPROBE cells of the trained codebook (q214's probe CTE),
+    home = the argmax assignment, candidates = probe x home, eps
+    filter, then symmetric closure with DISTINCT (directed (a, b) can
+    arise both from a probing b's home and — after the swap — from b
+    probing a's home). The adaptive rule reproduces this single-level
+    16-cell grid exactly at the sf0.01 fixture (q163/q149 pattern);
+    beyond fixture scale the tree deepens by design and q233's truth
+    gates carry the divergence."""
     return f"""{_km_ctes(_KM_K, _KM_ITERS)},
-fin AS (
-  SELECT a.vec_id, a.c_id, e.v
-  FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
+probe AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                       c.c_id) AS rn
+    FROM e CROSS JOIN cent{_KM_ITERS} c
+  ) WHERE rn <= {_DBSCAN_NPROBE}
+),
+home AS (SELECT vec_id, c_id FROM assign{_KM_ITERS}),
+cd AS (
+  SELECT p.vec_id AS a, h.vec_id AS b
+  FROM probe p
+  JOIN home h ON h.c_id = p.c_id AND h.vec_id <> p.vec_id
+  JOIN e ea ON ea.vec_id = p.vec_id
+  JOIN e eb ON eb.vec_id = h.vec_id
+  WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= {_DBSCAN_EPS_COS}
 ),
 sym AS (
-  SELECT a.vec_id AS a, b.vec_id AS b
-  FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
-  WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_DBSCAN_EPS_COS}
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM cd UNION ALL SELECT b, a FROM cd
+  )
 )"""
+
+
+def _mp_eps_candidates(probe, home, block_cols):
+    """Directed eps-edge candidates (*block_cols, a, b) of the
+    multi-probe join: probe side x home side on the block key, a != b,
+    4dp cosine >= _DBSCAN_EPS_COS. Each DIRECTED candidate appears
+    exactly once per generating block key (a neighbor has ONE home
+    block; a query's probe blocks are distinct), and the block key is
+    kept so the incremental refresh (q228) can partition edge state by
+    it. Floats (cosine + round) stay JVM-side. Shared by the one-shot
+    edge build and the refresh's touched-block recompute."""
+    a = probe.select(
+        *block_cols, F.col("vec_id").alias("a"), F.col("embedding").alias("a_v")
+    )
+    b = home.select(
+        *block_cols, F.col("vec_id").alias("b"), F.col("embedding").alias("b_v")
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("cs", F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4))
+        .filter(F.col("cs") >= _DBSCAN_EPS_COS)
+        .select(*block_cols, "a", "b")
+    )
+
+
+def _mp_symmetrize(cand):
+    """Symmetric closure of a directed candidate list: both
+    orientations, DISTINCT — directed (a, b) can be generated twice
+    (a probes b's home block; b probes a's). The distinct shuffles
+    only the EPS-EDGE list (mean-degree x N rows — tiny), never the
+    candidate pairs."""
+    p = cand.select("a", "b")
+    return p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+
+def _mp_eps_edges(spark, sf_dir, nprobe: int = _DBSCAN_NPROBE):
+    """Build-once symmetric multi-probe eps-edge list, persisted into
+    the k-NN index artifact (same fingerprint lifecycle — evicted and
+    rebuilt with the index): six registered consumers (q223, q224,
+    q229, q233, q234 and the q228 rebuild arm) read the SAME edge
+    parquet instead of re-scoring N x nprobe² x block candidates each,
+    exactly as a production pipeline builds its eps-graph once per
+    corpus epoch. Edge rows are (a, b) directed-once — the
+    duplicate-sensitivity contract of dbscan_from_edges."""
+    import os
+
+    meta = _knn_index(spark, sf_dir)
+    path = f"{meta['dir']}/eps_edges_p{nprobe}_e{int(round(_DBSCAN_EPS_COS * 100))}.parquet"
+    if not os.path.isdir(path):
+        home, probe, block_cols = _knn_assignments(spark, sf_dir, nprobe)
+        sym = _mp_symmetrize(_mp_eps_candidates(probe, home, block_cols))
+        sym.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def _q223_oracle() -> str:
     from ..operators.dbscan import dbscan_oracle_tail
 
     return f"""
-WITH RECURSIVE {_grid_sym_ctes()},
+WITH RECURSIVE {_mp_sym_ctes()},
 {dbscan_oracle_tail(_DBSCAN_MIN_NBRS)}
 """
 
 
 @query("q223_dbscan_grid", oracle=_q223_oracle(), tags=("vector", "graph", "EXT"))
 def q223_dbscan_grid(spark, sf_dir):
-    """DBSCAN with adaptive-grid eps-edge generation: within-block
-    pairs at cosine >= {_DBSCAN_EPS_COS} (the _knn_candidates join —
-    block size held ~{_KNN_TARGET_BLOCK} at any corpus size, so edge
-    enumeration is LINEAR where q219's label blocks are quadratic per
-    label), then the identical degree/CC/border pipeline. The oracle
-    encodes the fixed {_KM_K}-cell grid, which adaptive_grid
-    reproduces exactly at the sf0.01 fixture — the q163/q149 equality
-    pattern; beyond fixture scale the tree deepens by design.
+    """DBSCAN with multi-probe eps-edge generation: candidates =
+    top-{_DBSCAN_NPROBE} probed blocks (query side) x home blocks
+    (corpus side) of the adaptive-grid index at 4dp cosine >=
+    {_DBSCAN_EPS_COS}, then the shared degree/CC/border pipeline
+    (dbscan_from_edges — the eps-graph is no longer block-confined,
+    so components are found by distributed star contraction over the
+    TINY eps-edge list, not per-block union-find). The oracle encodes
+    the fixed {_KM_K}-cell single-level grid, which adaptive_grid +
+    the plain top-nprobe coarse probe reproduce exactly at the sf0.01
+    fixture; beyond fixture scale the tree deepens by design and the
+    truth gates (q233) measure what the probe set recovers: ~0.9 of
+    true eps-edges, 1.000/0.304 of true co-membership pairs at
+    fixture/sf0.1, precision exactly 1 (see _DBSCAN_NPROBE dial).
 
-    Blocking note (honest contract): eps-pairs straddling blocks are
-    invisible — the q213-style recall gate family bounds that price;
-    density REGIONS split across blocks reappear when border/core
-    chains re-join through shared members, exactly as in grid
-    SemDeDup (q163's measured -1.5% membership at the hub cap).
+    Scale shape: probing is index-assignment work (O(log N) centroid
+    scores per vector); the candidate join shuffles on the block key
+    with per-block fan-out nprobe² x block ~ {_DBSCAN_NPROBE}² x
+    {_KNN_TARGET_BLOCK} — LINEAR total; the eps filter collapses
+    candidates to mean-degree x N edge rows before the only
+    edge-list-wide shuffles (distinct, degree count, CC rounds). The
+    round-10 per-block union-find plan (operators/dbscan.
+    dbscan_blocked) remains the right physical plan for block-confined
+    edge sets, but round 12's truth measurements showed home-only
+    edges recover <1% of true co-membership pairs beyond the fixture —
+    a wrong answer computed quickly; the probe set is the measured
+    fix, as it was for k-NN recall in round 11."""
+    from ..operators.dbscan import dbscan_from_edges
 
-    Physical plan (round 10): components of grid eps-edges are
-    CONFINED to blocks, so the component search is a per-block
-    union-find in one applyInPandas pass (operators/dbscan.
-    dbscan_blocked — integer ids only, floats stay JVM-side) instead
-    of O(log² n) star-contraction rounds, whose fixed per-round
-    shuffles dominated the wall at the 10× probe. q219 keeps the
-    distributed CC: its label blocks are unbounded.
-    """
-    from ..operators.dbscan import dbscan_blocked
-
-    home, _, block_cols = _knn_assignments(spark, sf_dir, nprobe=1)
-    e = home.select("vec_id")
-    sym = _grid_eps_edges(home, block_cols)
-    return dbscan_blocked(e, sym, _DBSCAN_MIN_NBRS, block_cols)
-
-
-def _grid_eps_edges(members, block_cols):
-    """Symmetric eps-edge list (*block_cols, a, b) among an explicit
-    member set: within-block pairs at cosine >= _DBSCAN_EPS_COS. Each
-    directed edge appears exactly once by construction — every vector
-    has ONE home block, so the self-join emits (x, y) and (y, x) once
-    each and no dedup shuffle is needed (the duplicate-sensitivity
-    contract of the dbscan operators). The cosine and its 4dp round
-    stay JVM-side here — the downstream per-block union-find
-    (dbscan_blocked) sees only integer ids, so no cross-engine float
-    drift is possible. Shared by the one-shot build (members = the
-    whole corpus) and the incremental refresh (members = touched
-    blocks only)."""
-    a = members.select(
-        *block_cols, F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v")
-    )
-    b = members.select(
-        *block_cols, F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v")
-    )
-    return (
-        a.join(b, block_cols)
-        .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn("cs", F.round(V.cosine(F.col("a_v"), F.col("b_v")), 4))
-        .filter(F.col("cs") >= _DBSCAN_EPS_COS)
-        .select(*block_cols, F.col("a_id").alias("a"), F.col("b_id").alias("b"))
-    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    sym = _mp_eps_edges(spark, sf_dir)
+    return dbscan_from_edges(e, sym, _DBSCAN_MIN_NBRS)
 
 
 # --------------------------------------------------------------------------
@@ -925,16 +1054,7 @@ def _q224_oracle() -> str:
             WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_VAL_HI}' THEN 'val'
             ELSE 'test' END"""
     return f"""
-WITH RECURSIVE {_km_ctes(_KM_K, _KM_ITERS)},
-fin AS (
-  SELECT a.vec_id, a.c_id, e.v
-  FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
-),
-sym AS (
-  SELECT a.vec_id AS a, b.vec_id AS b
-  FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
-  WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_DBSCAN_EPS_COS}
-),
+WITH RECURSIVE {_mp_sym_ctes()},
 reach(a, b) AS (
   SELECT a, b FROM sym
   UNION
@@ -969,32 +1089,35 @@ GROUP BY sp.split
 @query("q224_leakage_safe_split_grid", oracle=_q224_oracle(), tags=("vector", "gate", "EXT"))
 def q224_leakage_safe_split_grid(spark, sf_dir):
     """q216's repair with linear edge generation: eps-edges from the
-    adaptive grid's within-block pairs, CC by star contraction, whole
-    clusters hashed to one split, zero-leak re-proof in the report.
-    The oracle encodes the fixed {_KM_K}-cell grid which adaptive_grid
+    multi-probe candidate join (the q223 edge set — ~0.9 of true
+    eps-edges where the round-10/11 within-block form saw 13-37%), CC
+    by star contraction over the tiny edge list, whole clusters hashed
+    to one split, zero-leak re-proof over the same edge set in the
+    report. The oracle encodes the fixed {_KM_K}-cell single-level
+    grid + top-{_DBSCAN_NPROBE} probe, which the adaptive machinery
     reproduces exactly at the fixture; beyond fixture scale the tree
-    deepens and block size stays ~{_KNN_TARGET_BLOCK}.
+    deepens and q234 prices the split against TRUTH (at the
+    re-anchored eps it is leak-free against truth too, not just
+    against this blocked relation).
 
-    Physical plan (round 10): grid eps-components are block-confined,
-    so the clustering is dbscan_blocked's per-block union-find with
-    min_nbrs=1 (every edge endpoint 'core' → plain connected
-    components, cluster = component min) — one applyInPandas pass over
-    integer edges instead of star-contraction rounds, same trade as
-    q223's."""
-    from ..operators.dbscan import dbscan_blocked
-    from ..scratch import parquet_checkpoint
+    Physical plan: the mp edge set is NOT block-confined, so the
+    min_nbrs=1 clustering is plain distributed CC
+    (connected_components_star) over the persisted edge parquet —
+    shuffle bounded by the eps-edge count (mean-degree x N), zero
+    candidate-scale shuffles; the edge parquet is the shared index
+    artifact, nothing pinned in the block manager."""
+    from ..operators.graph import connected_components_star
     from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
 
-    home, _, block_cols = _knn_assignments(spark, sf_dir, nprobe=1)
-    e = home.select("vec_id")
-    # parquet_checkpoint, not localCheckpoint: the returned report has
-    # live lineage into this edge list (the leak re-proof), and a
-    # file-backed intermediate keeps nothing pinned in the block
-    # manager once the query completes (round-9 verdict item #7).
-    sym = parquet_checkpoint(
-        _grid_eps_edges(home, block_cols), "q224_sym_"
-    )
-    assigned = dbscan_blocked(e, sym, 1, block_cols).withColumn(
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    # file-backed by construction (_mp_eps_edges persists the list into
+    # the index artifact), so the report's live lineage into the edge
+    # list pins nothing in the block manager (round-9 verdict item #7).
+    sym = _mp_eps_edges(spark, sf_dir)
+    cl = connected_components_star(
+        sym.filter(F.col("a") < F.col("b")), src="a", dst="b"
+    ).select(F.col("id").alias("vec_id"), "cluster_id")
+    assigned = e.join(cl, "vec_id", "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", "vec_id")
     )
     bucket = F.substring(
@@ -1126,54 +1249,61 @@ def q225_knn_graph_incremental(spark, sf_dir):
 
 @query("q228_dbscan_grid_incremental", oracle=_q223_oracle(), tags=("vector", "graph", "pipeline", "EXT"))
 def q228_dbscan_grid_incremental(spark, sf_dir):
-    """Grid-DBSCAN as maintained state: cluster the historical slice
-    (vec_id % {_KNN_INC_MOD} != 0), persist (vec_id, block, role,
-    cluster_id) to parquet, then fold the ingest batch in by
-    re-clustering ONLY the blocks the batch touches — untouched
-    blocks' assignments are read back verbatim. The merged state must
-    hash-match q223's ONE-SHOT oracle, proving refresh ≡ rebuild.
+    """Multi-probe DBSCAN as maintained state: build the per-block
+    directed eps-CANDIDATE-EDGE lists over the historical slice
+    (vec_id % {_KNN_INC_MOD} != 0), persist them to parquet
+    partitioned by the generating block key, then fold the ingest
+    batch in by recomputing ONLY the blocks the batch probes into —
+    untouched blocks' edge lists are read back verbatim — and run the
+    shared degree/CC/border pipeline over the merged edge set. The
+    result must hash-match q223's ONE-SHOT oracle, proving
+    refresh ≡ rebuild exactly.
 
-    Why equality holds: the grid's eps-edges are WITHIN-BLOCK by
-    construction, so DBSCAN decomposes exactly per block — degrees,
-    core status, components, and border assignment never cross a block
-    boundary (cluster ids are block-local component minima). A block
-    with no batch member therefore has an identical member set, edge
-    set, and clustering in both epochs; a touched block is recomputed
-    over its full (history ∪ batch) membership. The codebook is the
-    shared persisted index (frozen across epochs — the production
-    contract, same as q225).
+    Why equality holds even though mp components SPAN blocks (the
+    round-12 change from the block-confined form): the INCREMENTAL
+    unit is the edge list, not the clustering. Every directed
+    candidate (a, b) is generated under exactly one block key (a
+    probes k, b homes in k); the probe frame contains the home
+    assignment (probe ⊇ home by construction), so a block with no
+    batch PROBE row also has no batch home row — its candidate list
+    is identical in both epochs. Touched blocks are recomputed over
+    their full (history ∪ batch) probe x home membership. The global
+    symmetrize+distinct and the label pass (degree, CC, border) rerun
+    over the merged list — but that list is mean-degree x N rows
+    (tiny), so re-labelling is ~free; the expensive stage (candidate
+    scoring, nprobe² x block per vector) is what the refresh skips.
+    The codebook is the shared persisted index (frozen across epochs —
+    the production contract, same as q225).
 
-    Scale: refresh cost is touched-blocks work only — P(block
-    untouched) = (1-f)^|block| for batch fraction f, so a 1% batch
-    leaves ~72% of 32-member blocks untouched and a 0.01% production
-    batch ~99.7%; the per-block re-cluster is |block|² pair work and a
-    component search bounded by the block. Re-clustering 100 TB of
-    vectors from scratch per nightly batch is the alternative this
-    removes.
+    Scale: refresh cost is touched-blocks scoring only — P(block
+    untouched) = (1-f)^(nprobe² x |block|-ish) for batch fraction f;
+    a 0.01% production batch leaves ~95% of blocks untouched at
+    nprobe²=16 x 32 probe rows per batch vector. Re-scoring 100 TB of
+    candidates per nightly batch is the alternative this removes.
     """
-    from ..operators.dbscan import dbscan_blocked
-    from ..scratch import parquet_checkpoint
+    from ..operators.dbscan import dbscan_from_edges
+    from ..scratch import scratch_dir
 
-    home, _, block_cols = _knn_assignments(spark, sf_dir, nprobe=1)
+    home, probe, block_cols = _knn_assignments(spark, sf_dir, _DBSCAN_NPROBE)
     is_new = F.col("vec_id") % _KNN_INC_MOD == 0
-    hist = home.filter(~is_new)
-    batch = home.filter(is_new)
 
-    def _block_dbscan(members):
-        roles = dbscan_blocked(
-            members.select("vec_id"), _grid_eps_edges(members, block_cols),
-            _DBSCAN_MIN_NBRS, block_cols,
-        )
-        # carry the block key so the refresh can split rows by block
-        return roles.join(members.select("vec_id", *block_cols), "vec_id")
+    cand0 = _mp_eps_candidates(
+        probe.filter(~is_new), home.filter(~is_new), block_cols
+    )
+    g_dir = scratch_dir("q228_mp_")
+    cand0.write.mode("overwrite").parquet(f"{g_dir}/edges_epoch0.parquet")
+    e0 = spark.read.parquet(f"{g_dir}/edges_epoch0.parquet")
 
-    g0 = parquet_checkpoint(_block_dbscan(hist), "q228_dbscan_epoch0_")
-
-    touched = batch.select(*block_cols).distinct()
-    members = home.join(touched, block_cols)  # hist + batch of touched blocks
-    g1 = _block_dbscan(members)
-    untouched = g0.join(touched, block_cols, "left_anti")
-    return untouched.unionByName(g1).select("vec_id", "role", "cluster_id")
+    # touched = every block a batch vector probes (probe ⊇ home, so
+    # this also covers blocks a batch vector homes into)
+    touched = probe.filter(is_new).select(*block_cols).distinct()
+    cand1 = _mp_eps_candidates(
+        probe.join(touched, block_cols), home.join(touched, block_cols), block_cols
+    )
+    untouched = e0.join(touched, block_cols, "left_anti")
+    sym = _mp_symmetrize(untouched.unionByName(cand1))
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    return dbscan_from_edges(ids, sym, _DBSCAN_MIN_NBRS)
 
 
 # --------------------------------------------------------------------------
@@ -1184,18 +1314,17 @@ def q228_dbscan_grid_incremental(spark, sf_dir):
 # overlap between the two registered anchors, with a floor.
 # --------------------------------------------------------------------------
 
-# Floor below the measured MULTI-SCALE band: fixture 0.496, sf0.1
-# 0.357, 10x 0.741 — the two blocking policies agree more where label
-# structure dominates density. Round 10 lowered 0.4 -> 0.3 after the
-# sf0.1 sweep fired the fixture-calibrated floor on healthy anchors;
-# round 11's truth anchor (q232/q233, vector7) explains WHY no higher
-# floor exists for this pair: at eps 0.3 the unblocked eps-graph
-# percolates into one giant component, so both blocked arms are
-# density summaries of different blockings, not approximations of a
-# common truth — their mutual agreement is structurally unstable
-# across scales. Truth-based floors live on q233's gates; this floor
-# stays a regression tripwire for the two registered arms.
-_DBSCAN_ROLE_AGREE_MIN = 0.3
+# Floor below the measured MULTI-SCALE band at the round-12 operating
+# point (eps 0.4, mp edges): fixture 0.938, sf0.1 0.6665 — both arms
+# now approximate a COMMON sparse truth (q232), so their mutual
+# agreement is high and stable where the percolating eps 0.3 made it
+# structurally unstable (round-10's 0.4 → 0.3 retreat, explained by
+# round-11's truth anchor). The label arm finds far fewer pairs than
+# the grid arm at this eps (true edges are mostly cross-label —
+# fixture 0 vs 55 pairs, sf0.1 24 vs 2397, Jaccard ≈ 0), which is the
+# expected blocking asymmetry, not drift; truth-based quality floors
+# live on q233, this floor stays the two-arm regression tripwire.
+_DBSCAN_ROLE_AGREE_MIN = 0.5
 
 
 def _q229_oracle() -> str:
@@ -1247,14 +1376,15 @@ def q229_dbscan_agreement_gate(spark, sf_dir):
     (gated) plus co-membership pair counts and their Jaccard.
 
     Honest contract: this is a BLOCKING-POLICY comparison, not an
-    approximation-error bound — neither anchor sees the unblocked
-    edge set. Label blocking hides cross-label eps-pairs; grid
-    blocking hides cross-cell ones. At the fixture the grid (which
-    groups by embedding similarity) finds ~10x the co-membership
-    pairs the label anchor does (1120 vs 112, Jaccard ~0.008) while
-    roles agree on ~50% of vectors — the gate pins those numbers so a
-    regression in either arm (or a silent blocking change) is visible,
-    the way q213 pins k-NN recall.
+    approximation-error bound — the truth-based bounds live on q233.
+    Label blocking hides cross-label eps-pairs; the multi-probe grid
+    misses the ~0.1-0.2 of true edges outside the probe set. At the
+    family eps 0.4 true edges are mostly cross-label, so the grid arm
+    finds nearly all co-membership pairs and the label arm almost
+    none (fixture 55 vs 0, sf0.1 2397 vs 24, Jaccard ≈ 0) while roles
+    agree on 0.94 / 0.67 of vectors — the gate pins those numbers so
+    a regression in either arm (or a silent blocking change) is
+    visible, the way q213 pins k-NN recall.
 
     Scale: both arms are the registered queries (q219's label blocks
     are its documented quadratic-anchor contract); the co-membership
@@ -1321,3 +1451,136 @@ def q229_dbscan_agreement_gate(spark, sf_dir):
             .alias("agreement_gate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q236: incremental refresh of the ANN INDEX ARTIFACT itself (round-11
+# verdict item #3 / round-10 item #4). q225/q228 refresh the graph and
+# the clustering ON TOP of a frozen index; this registers the index's
+# own epoch lifecycle: codebook trained on history and FROZEN as the
+# persisted artifact, batch vectors HOME-ASSIGNED ONLY (never
+# retrained), merged state identical to assigning the full corpus
+# under the same frozen codebook.
+# --------------------------------------------------------------------------
+
+
+def _km_hist_ctes(k: int, iters: int, hist_pred: str) -> str:
+    """_km_ctes trained on a HISTORY slice: cent0 sampled (md5 order)
+    from the slice, Lloyd rounds assign the slice only — the SQL twin
+    of train-on-history + frozen-codebook assignment. ``assign{iters}``
+    still covers ONLY the slice; the caller assigns the full corpus
+    against cent{iters} itself. Same determinism discipline as
+    _km_ctes (4dp assignment round, c_id tie-break, 6dp exact-decimal
+    means with the string hop)."""
+    parts = [
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eh AS (SELECT vec_id, v FROM e WHERE {hist_pred}),
+exh AS (SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM eh),
+cent0 AS (
+  SELECT vec_id AS c_id, v AS cv FROM eh
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+)"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"""assign{i} AS (
+  SELECT vec_id, c_id, cos_sim FROM (
+    SELECT eh.vec_id, c.c_id,
+           ROUND(list_cosine_similarity(eh.v, c.cv), 4) AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY eh.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(eh.v, c.cv), 4) DESC,
+                                       c.c_id) AS rn
+    FROM eh CROSS JOIN cent{i} c
+  ) WHERE rn = 1
+)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""upd{i + 1} AS (
+  SELECT a.c_id, exh.d,
+         CAST(CAST(SUM(CAST(ROUND(exh.x, 6) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM assign{i} a JOIN exh ON exh.vec_id = a.vec_id
+  GROUP BY a.c_id, exh.d
+),
+cent{i + 1} AS (SELECT c_id, list(m ORDER BY d) AS cv FROM upd{i + 1} GROUP BY c_id)"""
+            )
+    return ",\n".join(parts)
+
+
+def _q236_oracle() -> str:
+    hist_pred = f"vec_id % {_KNN_INC_MOD} <> 0"
+    return f"""
+WITH {_km_hist_ctes(_KM_K, _KM_ITERS, hist_pred)},
+full_assign AS (
+  SELECT vec_id, c_id, cos_sim FROM (
+    SELECT e.vec_id, c.c_id,
+           ROUND(list_cosine_similarity(e.v, c.cv), 4) AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                       c.c_id) AS rn
+    FROM e CROSS JOIN cent{_KM_ITERS} c
+  ) WHERE rn = 1
+)
+SELECT vec_id, c_id, cos_sim FROM full_assign
+"""
+
+
+@query("q236_knn_index_refresh", oracle=_q236_oracle(), tags=("vector", "pipeline", "EXT"))
+def q236_knn_index_refresh(spark, sf_dir):
+    """The ANN index artifact's epoch lifecycle, proven refresh ≡
+    rebuild: Lloyd-train the coarse codebook on the HISTORY slice
+    (vec_id % {_KNN_INC_MOD} != 0, md5-sample-bounded — the q225/q228
+    "codebook frozen across epochs" production contract made a
+    registered, oracle-checked fact), persist it as the index
+    artifact, home-assign history, then fold the ingest batch in by
+    ASSIGNING ONLY THE BATCH against the frozen parquet codebook —
+    no retraining anywhere on the refresh path. The merged state must
+    hash-match the oracle's independent full-corpus assignment under
+    the same history-trained codebook, bit for bit (4dp assignment
+    round + c_id tie-break; the oracle re-runs the whole history
+    Lloyd in SQL, so a drifted trainer OR a drifted refresh both
+    fire).
+
+    Why equality holds: coarse assignment is per-vector deterministic
+    given the codebook, so assign(hist) ∪ assign(batch) =
+    assign(full) exactly — PROVIDED nothing retrains. That proviso is
+    the production content: a content-fingerprint miss (q169's
+    grid-health report is the retrain trigger) rebuilds from scratch;
+    between retrains, ingest costs |batch| x k centroid scores, not a
+    corpus re-shuffle, and the frozen artifact keeps every consumer
+    (q212-q215, q223-q228) bit-stable across the epoch.
+
+    Scale: training is bounded by the md5 train sample (10k vectors);
+    refresh is batch x k broadcast scoring — both independent of
+    corpus size; the merged state is a parquet append in production.
+    Deeper trees freeze their sampled sub-codebooks the same way (the
+    persisted index already carries coarse + deepest levels)."""
+    from ..operators.similarity import kmeans_assign, spherical_kmeans_codebook
+    from ..scratch import scratch_dir
+    from .vector5 import _train_slice
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_new = F.col("vec_id") % _KNN_INC_MOD == 0
+    hist = e.filter(~is_new)
+
+    idx_dir = scratch_dir("q236_index_epoch_")
+    train = _train_slice(hist)
+    cent = spherical_kmeans_codebook(
+        train, _init_centroids(train, k=_KM_K), iters=_KM_ITERS
+    )
+    # the FROZEN artifact: codebook persisted, then read back so the
+    # refresh path scores against the parquet bytes (what production
+    # reads), not the in-session lineage
+    cent.select("c_id", "cv").write.mode("overwrite").parquet(
+        f"{idx_dir}/codebook.parquet"
+    )
+    frozen = spark.read.parquet(f"{idx_dir}/codebook.parquet")
+
+    keep = ["vec_id", "c_id", "cos_sim"]
+    kmeans_assign(hist, frozen).select(*keep).write.mode("overwrite").parquet(
+        f"{idx_dir}/home_epoch0.parquet"
+    )
+    home0 = spark.read.parquet(f"{idx_dir}/home_epoch0.parquet")
+    refresh = kmeans_assign(e.filter(is_new), frozen).select(*keep)
+    return home0.unionByName(refresh)

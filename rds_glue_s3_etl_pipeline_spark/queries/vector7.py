@@ -19,28 +19,35 @@ in-query "zero leaked" re-proofs are scoped to their own blocked edge
 sets — the honest-contract caveat in q216's docstring — so the
 cross-block leak count was invisible until now).
 
-THE MEASURED FINDING (round 11, the answer to "are my clusters
-right?"): at eps = cosine 0.3 — the ~99th percentile of the all-pairs
-cosine distribution on these near-orthogonal fixtures — the UNBLOCKED
+THE ROUND-11 FINDING (the answer to "are my clusters right?"): at
+eps = cosine 0.3 — the ~99th percentile of the all-pairs cosine
+distribution on these near-orthogonal fixtures — the UNBLOCKED
 eps-graph PERCOLATES: 990 unordered edges over 500 fixture vectors
 (mean degree ~4) form one giant 483-member component, and at sf0.1
 (14,933 edges / 2,000 vectors) the single truth cluster is the entire
-corpus. Consequences, now pinned by gates instead of invisible:
-truth-role agreement of the blocked arms is structurally low (grid
-0.286 fixture / 0.424 sf0.1; label 0.106 / 0.432), blocked arms
-recover <3% of true co-membership pairs, and EVERY cluster-hashed
-split leaks against truth (~90-100% of non-train vectors have a true
-eps-neighbor in train — the giant component spans any split). Blocked
-DBSCAN at a percolating eps is a within-block density summary, not an
-approximation of unblocked DBSCAN; a user who wants truth-faithful
-clusters must raise eps past the percolation threshold (at 0.4 the
-fixture graph is 59 edges — sparse, real clusters).
+corpus. At a percolating eps, blocked DBSCAN recovered <3% of true
+co-membership pairs and every cluster-hashed split leaked ~100% of
+its non-train vectors against truth.
+
+THE ROUND-12 RESPONSE (executing the module's own prescription): the
+family eps moved past the percolation threshold to 0.4
+(vector6._DBSCAN_EPS_COS — 59 unordered fixture edges / 920 at sf0.1,
+mean degree ~0.24/0.92: sparse, REAL clusters), q219 got its own
+label-blocked edge generator at the family eps (decoupled from q34's
+0.3 near-dup relation, which keeps its dedup semantics), q233's
+floors were re-measured at the defensible operating point (truth
+agreement is now high instead of structurally low), q234's gate
+flipped from pinning ~100% expected leakage to enforcing a leakage
+CEILING, and q235 registers the percolation pre-flight — a
+sample-estimated true mean degree with a gate — so a future corpus
+cannot silently re-enter the degenerate regime.
 
 Scale contract: the truth arm is DELIBERATELY quadratic — a
 fixture-scale verification anchor in the q216/q219 documented class,
 never a production plan. The production paths stay q223/q224 (linear
 grid); these gates price them against truth instead of against each
-other.
+other. q235's estimator is sample x corpus through one broadcast —
+LINEAR, production-feasible at any scale.
 
 Reference scope: EXT (SURVEY §2.11); the reference job
 (gule_test_job.py) has no clustering or split surface.
@@ -56,8 +63,6 @@ from .registry import query
 from .vector6 import (
     _DBSCAN_EPS_COS,
     _DBSCAN_MIN_NBRS,
-    _grid_eps_edges,
-    _knn_assignments,
     _q219_oracle,
     _q223_oracle,
     q219_dbscan_embeddings,
@@ -87,7 +92,7 @@ def _true_eps_edges(spark, sf_dir):
 
 def _true_sym_ctes() -> str:
     """Oracle CTEs producing sym(a, b) = the TRUE symmetric eps-edge
-    list — the unblocked twin of vector6's _grid_sym_ctes."""
+    list — the unblocked twin of vector6's _mp_sym_ctes."""
     return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 p AS (
   SELECT a.vec_id AS a, b.vec_id AS b
@@ -119,11 +124,11 @@ def q232_dbscan_truth(spark, sf_dir):
     Deliberately quadratic (the q216/q219 anchor class): the all-pairs
     broadcast join is the point — this is the fixture-scale ground
     truth that prices the linear grid path, not a production plan. The
-    edge list itself is cheap downstream (~30k directed edges at sf0.1
-    out of 2M candidate pairs), but the eps-graph PERCOLATES at this
-    threshold: one 483-member cluster at the fixture, the whole corpus
-    at sf0.1 (see module docstring) — the registered truth the blocked
-    arms are measured against."""
+    edge list itself is tiny downstream (59 unordered fixture edges /
+    920 at sf0.1 out of 125k / 2M candidate pairs at the re-anchored
+    eps — sparse, real clusters, vs the percolating giant component
+    round 11 measured at 0.3; see module docstring) — the registered
+    truth the blocked arms are measured against."""
     from ..operators.dbscan import dbscan_from_edges
 
     ids = load(spark, sf_dir, "embeddings").select("vec_id")
@@ -136,16 +141,28 @@ def q232_dbscan_truth(spark, sf_dir):
 # much". Floors are on agreement WITH TRUTH, measured multi-scale.
 # --------------------------------------------------------------------------
 
-# Measured role agreement with truth (round 11): fixture grid 0.286 /
-# label 0.106; sf0.1 grid 0.4235 / label 0.4315. The numbers are LOW
-# because truth percolates at this eps (module docstring) — truth says
-# "almost everything is core of one giant cluster" while the blocked
-# arms mostly say noise. The floors pin the measured multi-scale band
-# from below as regression tripwires (an edge-generator or index
-# regression drops agreement toward 0); they are NOT quality claims —
-# q233's pair-recall columns carry the honest magnitude (<3%).
-_TRUTH_GRID_AGREE_MIN = 0.2
-_TRUTH_LABEL_AGREE_MIN = 0.08
+# Measured at the re-anchored eps 0.4 + the multi-probe edge
+# generator (round 12 — the defensible operating point the round-11
+# percolation finding demanded): GRID role agreement with truth is
+# 1.000 at the fixture / 0.8585 at sf0.1, and grid pair recall is
+# 1.000 / 0.3036 (the sf0.1 number is chain-limited: that corpus sits
+# near criticality at eps 0.4 — mean degree 0.92, max true component
+# 75 — and transitive co-membership decays combinatorially with each
+# missed edge even at 0.79 edge recall; the dial table in SCALE.md
+# carries the nprobe curve). The LABEL arm is structurally blind at
+# the family eps — true 0.4-edges are overwhelmingly CROSS-label
+# (54/59 at the fixture), so its pair recall is ~0 (0.000 / 0.003)
+# BY CONSTRUCTION of its blocking, not by regression: q219 remains
+# the exact within-label anchor, and its truth-pair recall is a
+# report-only column (a floor would be vacuous or false); its ROLE
+# agreement (0.938 / 0.5555 — most vectors are noise in both) keeps
+# a floor as the regression tripwire.
+_TRUTH_GRID_AGREE_MIN = 0.75
+_TRUTH_LABEL_AGREE_MIN = 0.45
+# Grid pair recall floor (round-11 verdict item #1's "materially
+# high" requirement — measured 1.000 at the fixture, 0.3036 at sf0.1;
+# the floor sits under the weakest measured scale with margin).
+_TRUTH_GRID_RECALL_MIN = 0.25
 
 
 def _q233_oracle() -> str:
@@ -199,7 +216,11 @@ SELECT n_vectors,
             THEN 'ok' ELSE 'FAIL label agreement' END AS label_gate,
        CASE WHEN n_grid_agree / CAST(n_vectors AS DOUBLE)
                  >= {_TRUTH_GRID_AGREE_MIN}
-            THEN 'ok' ELSE 'FAIL grid agreement' END AS grid_gate
+            THEN 'ok' ELSE 'FAIL grid agreement' END AS grid_gate,
+       CASE WHEN (CASE WHEN n_pairs_truth = 0 THEN 1.0
+                       ELSE n_pairs_grid_hit / CAST(n_pairs_truth AS DOUBLE)
+                  END) >= {_TRUTH_GRID_RECALL_MIN}
+            THEN 'ok' ELSE 'FAIL grid pair recall' END AS grid_recall_gate
 FROM counts
 """
 
@@ -273,6 +294,12 @@ def q233_dbscan_truth_gate(spark, sf_dir):
             F.when(grid_agree >= _TRUTH_GRID_AGREE_MIN, F.lit("ok"))
             .otherwise(F.lit("FAIL grid agreement"))
             .alias("grid_gate"),
+            F.when(
+                _recall("n_pairs_grid_hit") >= _TRUTH_GRID_RECALL_MIN,
+                F.lit("ok"),
+            )
+            .otherwise(F.lit("FAIL grid pair recall"))
+            .alias("grid_recall_gate"),
         )
     )
 
@@ -286,22 +313,32 @@ def q233_dbscan_truth_gate(spark, sf_dir):
 # ceiling.
 # --------------------------------------------------------------------------
 
-# Measured true leak rate (leaked vectors / split size) at round 11:
-# label policy val 26/26, test 26/29 at the fixture (42/42 + 172/172
-# at sf0.1); grid policy 19/19 + 32/38 (90/90 + 65/65). ~90-100%,
-# because the percolating truth component spans every split — NO
-# cluster-hashing policy can be leak-free against a relation whose
-# transitive closure is the corpus. The gate therefore PINS the
-# measured fact (rate >= the floor ⇒ 'leaky_expected'): a drop below
-# it means the truth arm or the split hashing changed, not that
-# leakage got better.
-_TRUE_LEAK_RATE_FLOOR = 0.5
+# Round 11 measured ~90-100% true leakage at the percolating eps 0.3
+# (the giant component spanned every split — no cluster-hashing policy
+# could be leak-free), so the gate could only PIN the degenerate fact.
+# At the re-anchored eps 0.4 (round 12) the gate flips to per-policy
+# CEILINGS on the measured band:
+# * GRID policy (clusters from the mp eps-0.4 edge set — the relation
+#   it is DESIGNED to guard): measured 0/22 val + 2/31 test at the
+#   fixture, 15/103 + 25/118 at sf0.1 (max rate 0.212 — the residual
+#   is exactly the ~0.2 of true edges the probe set misses; SCALE.md
+#   dial). Ceiling 0.3: real margin, fires far below the percolating
+#   signature (~1.0).
+# * LABEL policy (q216's clusters from the 0.3 label-blocked near-dup
+#   relation — a DIFFERENT contract, exactly leak-free there by its
+#   own re-proof): against the 0.4 truth it leaks through cross-label
+#   true edges, measured 0.10-0.19 fixture / 0.53-0.55 sf0.1. The 0.7
+#   ceiling is the honest tripwire (the policy is documented as NOT
+#   truth-leak-safe at the family eps — use the grid policy when the
+#   eval set must be guarded against embedding-space neighbors).
+_TRUE_LEAK_MAX_GRID = 0.3
+_TRUE_LEAK_MAX_LABEL = 0.7
 
 
 def _q234_oracle() -> str:
     from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
     from .vector import _Q34_ORACLE
-    from .vector3 import _KM_ITERS, _KM_K, _km_ctes
+    from .vector6 import _mp_sym_ctes
 
     split = f"""CASE WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_TRAIN_HI}' THEN 'train'
             WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_VAL_HI}' THEN 'val'
@@ -330,20 +367,11 @@ lsp AS (
   SELECT vec_id, ({split}) AS split FROM assigned
 ),
 gsp AS (
-  WITH RECURSIVE {_km_ctes(_KM_K, _KM_ITERS)},
-  fin AS (
-    SELECT a.vec_id, a.c_id, e.v
-    FROM assign{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id
-  ),
-  gsym AS (
-    SELECT a.vec_id AS a, b.vec_id AS b
-    FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_DBSCAN_EPS_COS}
-  ),
+  WITH RECURSIVE {_mp_sym_ctes()},
   reach(a, b) AS (
-    SELECT a, b FROM gsym
+    SELECT a, b FROM sym
     UNION
-    SELECT r.a, s.b FROM reach r JOIN gsym s ON r.b = s.a
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
   ),
   cl AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
   assigned AS (
@@ -370,9 +398,11 @@ SELECT sp.policy, sp.split,
          AS n_true_leaked,
        CASE WHEN sp.split = 'train' THEN 'n/a'
             WHEN SUM(CASE WHEN leak.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-                 >= {_TRUE_LEAK_RATE_FLOOR} * COUNT(*)
-            THEN 'leaky_expected'
-            ELSE 'FAIL unexpectedly clean (truth arm regression?)'
+                 <= (CASE WHEN sp.policy = 'grid'
+                          THEN {_TRUE_LEAK_MAX_GRID}
+                          ELSE {_TRUE_LEAK_MAX_LABEL} END) * COUNT(*)
+            THEN 'ok'
+            ELSE 'FAIL true leakage above ceiling'
        END AS leak_gate
 FROM sp LEFT JOIN leak ON sp.vec_id = leak.vec_id AND sp.policy = leak.policy
 GROUP BY sp.policy, sp.split
@@ -387,22 +417,25 @@ def q234_split_leakage_truth(spark, sf_dir):
     cross-block leak their own in-query re-proofs cannot see. Report
     is (policy, split, n_vectors, n_true_leaked, leak_gate).
 
-    The honest outcome this registers: against the unblocked relation,
-    BOTH policies leak ~90-100% of their non-train vectors (previously
-    invisible — each policy's own re-proof reads 0). The cause is the
-    percolation finding (module docstring): the true eps-graph's giant
-    component spans every split, so "zero leakage" was only ever a
-    statement about the blocked relation. The gate pins the measured
-    fact — an unexpectedly CLEAN report means the truth arm or the
-    split hashing regressed, and a user deciding whether the split
-    guards their eval set now has the true number instead of a blocked
-    zero."""
-    from ..operators.dbscan import dbscan_blocked
+    At the re-anchored eps 0.4 this is a real CEILING gate with
+    per-policy ceilings: round 11 proved that at the percolating 0.3
+    both policies leaked ~100% vs truth (the giant component spanned
+    every split — the gate could only pin the degenerate fact). At 0.4
+    the sparse truth relation is actually guardable: the GRID policy
+    (clusters from the mp eps-edge set, the relation it guards) leaks
+    0-6% at the fixture and 15-21% at sf0.1 — the residual is exactly
+    the ~0.2 of true edges the nprobe=4 probe set misses — ceiling
+    0.3; the LABEL policy guards the 0.3 near-dup relation (leak-free
+    there by q216's own re-proof) and against the 0.4 truth leaks
+    through cross-label true edges (0.10-0.55 measured band, ceiling
+    0.7 as the percolation tripwire). The report now tells a user
+    WHICH policy guards embedding-space neighbors: the grid one."""
     from ..operators.graph import connected_components_star
     from ..operators.skew import gated_broadcast
     from ..scratch import parquet_checkpoint
     from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
     from .vector import q34_cosine_near_dup
+    from .vector6 import _mp_eps_edges
 
     e = load(spark, sf_dir, "embeddings").select("vec_id")
 
@@ -428,11 +461,14 @@ def q234_split_leakage_truth(spark, sf_dir):
         )
     ).withColumn("policy", F.lit("label_blocked"))
 
-    # grid policy: q224's assignment (per-block union-find, min_nbrs=1)
-    home, _, block_cols = _knn_assignments(spark, sf_dir, nprobe=1)
-    gsym = _grid_eps_edges(home, block_cols)
+    # grid policy: q224's assignment (CC over the persisted multi-probe
+    # edge set, min_nbrs=1 — the round-12 production edge generator)
+    gsym = _mp_eps_edges(spark, sf_dir)
+    gcl = connected_components_star(
+        gsym.filter(F.col("a") < F.col("b")), src="a", dst="b"
+    ).select(F.col("id").alias("vec_id"), "cluster_id")
     gsp = _bucketed(
-        dbscan_blocked(e, gsym, 1, block_cols).withColumn(
+        e.join(gated_broadcast(gcl), "vec_id", "left").withColumn(
             "cluster_id", F.coalesce("cluster_id", "vec_id")
         )
     ).withColumn("policy", F.lit("grid"))
@@ -470,12 +506,128 @@ def q234_split_leakage_truth(spark, sf_dir):
             n_leaked.alias("n_true_leaked"),
             F.when(F.col("split") == "train", F.lit("n/a"))
             .when(
-                n_leaked >= _TRUE_LEAK_RATE_FLOOR * F.count(F.lit(1)),
-                F.lit("leaky_expected"),
+                n_leaked
+                <= F.when(
+                    F.col("policy") == "grid", F.lit(_TRUE_LEAK_MAX_GRID)
+                ).otherwise(F.lit(_TRUE_LEAK_MAX_LABEL))
+                * F.count(F.lit(1)),
+                F.lit("ok"),
             )
-            .otherwise(
-                F.lit("FAIL unexpectedly clean (truth arm regression?)")
-            )
+            .otherwise(F.lit("FAIL true leakage above ceiling"))
             .alias("leak_gate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q235: the eps-percolation pre-flight (round-11 verdict item #1's
+# guard clause). Round 11 proved the family's old eps sat in the
+# percolating regime — and nothing would have warned a future corpus
+# whose cosine distribution drifts back into it. This gate estimates
+# the TRUE mean eps-degree from a bounded deterministic sample (the
+# q213 discipline: md5-ordered LIMIT, seedless, engine-agnostic) and
+# fails when the estimate approaches the giant-component threshold.
+# --------------------------------------------------------------------------
+
+_PERC_SAMPLE = 64
+# Random-graph heuristic: a giant component emerges at mean degree ~1.
+# Exact true mean degree at eps 0.4: 0.236 fixture / 0.92 sf0.1 (vs
+# 3.96 / 14.9 at the percolating 0.3); the 64-vector sample estimates
+# 0.203 / 1.078 — same side of the ceiling at every protocol scale.
+# The ceiling 2.0 separates the regimes with margin on both sides
+# (eps-graphs are clustered, not Erdos-Renyi, so degree ~1-2 with
+# bounded component sizes is still safe — q233's truth gates are the
+# backstop that would catch a clustered-but-degenerate corpus; the
+# sf0.1 corpus at 1.08 is the measured near-critical case whose 75-
+# member chain component q233's docstring prices).
+_PERC_MEAN_DEGREE_MAX = 2.0
+
+
+def _q235_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+  SELECT vec_id, v FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PERC_SAMPLE}
+),
+deg AS (
+  SELECT q.vec_id,
+         SUM(CASE WHEN ROUND(list_cosine_similarity(q.v, c.v), 4)
+                       >= {_DBSCAN_EPS_COS} THEN 1 ELSE 0 END) AS d
+  FROM q JOIN e c ON c.vec_id <> q.vec_id
+  GROUP BY q.vec_id
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
+       CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_sample,
+       CAST({_DBSCAN_EPS_COS} AS DOUBLE) AS eps,
+       CAST(SUM(d) AS BIGINT) AS n_sample_edges,
+       SUM(d) / CAST(COUNT(*) AS DOUBLE) AS est_mean_degree,
+       CASE WHEN SUM(d) / CAST(COUNT(*) AS DOUBLE)
+                 <= {_PERC_MEAN_DEGREE_MAX}
+            THEN 'ok' ELSE 'FAIL percolating eps' END AS percolation_gate
+FROM deg
+"""
+
+
+@query("q235_eps_percolation_guard", oracle=_q235_oracle(), tags=("vector", "gate", "EXT"))
+def q235_eps_percolation_guard(spark, sf_dir):
+    """Percolation pre-flight for the DBSCAN/split family's operating
+    eps: estimate the TRUE mean eps-degree (unblocked — every corpus
+    vector counts, not just same-block ones) from a deterministic
+    {_PERC_SAMPLE}-vector sample, and gate it against the
+    giant-component heuristic (mean degree ~1; ceiling
+    {_PERC_MEAN_DEGREE_MAX} with margin). Run BEFORE trusting
+    q223/q224/q228's clusters or splits on a new corpus: a breach
+    means the eps sits in (or near) the percolating regime round 11
+    measured at 0.3, where blocked DBSCAN degenerates to a
+    within-block density summary and no cluster-hashed split can be
+    leak-free.
+
+    Scale: one broadcast of the {_PERC_SAMPLE}-row sample against the
+    corpus — sample x N scored rows, LINEAR, no shuffle until the
+    {_PERC_SAMPLE}-group degree aggregate. The estimator is
+    production-feasible at 100 TB where the exact edge count (q232's
+    all-pairs arm) is fixture-protocol only. est_mean_degree divides
+    an exact integer edge sum by the power-of-two sample size, so the
+    double matches DuckDB bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = (
+        e.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+        )
+        .limit(_PERC_SAMPLE)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_v"))
+    )
+    deg = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            (
+                F.round(V.cosine(F.col("q_v"), F.col("embedding")), 4)
+                >= _DBSCAN_EPS_COS
+            )
+            .cast("long")
+            .alias("hit"),
+        )
+        .groupBy("q_id")
+        .agg(F.sum("hit").alias("d"))
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n_vectors"))
+    est = F.col("n_sample_edges") / F.col("n_sample").cast("double")
+    return (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum("d").alias("n_sample_edges"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("n_sample").cast("long").alias("n_sample"),
+            F.lit(float(_DBSCAN_EPS_COS)).alias("eps"),
+            F.col("n_sample_edges").cast("long").alias("n_sample_edges"),
+            est.alias("est_mean_degree"),
+            F.when(est <= _PERC_MEAN_DEGREE_MAX, F.lit("ok"))
+            .otherwise(F.lit("FAIL percolating eps"))
+            .alias("percolation_gate"),
         )
     )
