@@ -36,18 +36,35 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # Scale-aware oracle twin (round-12, verdict item #3): a callable
+    # (sf_dir) -> SQL that regenerates the oracle for the CORPUS SIZE
+    # at that path — used by the builder's own sweeps (tools/
+    # oracle_check.py) so adaptive-grid queries hash-match at ANY
+    # sweep scale, not just the fixture the static string pins. The
+    # static ``oracle`` stays the driver-contract surface
+    # (__spark_entry__.oracle_sql()); at the sf0.01 fixture both must
+    # produce identical results (the adaptive rule reproduces the
+    # pinned grid there — the q163/q149 equality pattern).
+    oracle_fn: Callable[[str], str] | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    oracle_fn: Callable[[str], str] | None = None,
+):
     """Decorator registering a query under ``name``."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, tags, (fn.__doc__ or "").strip())
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, tags, (fn.__doc__ or "").strip(), oracle_fn
+        )
         return fn
 
     return deco

@@ -161,7 +161,13 @@ def _semantic_tree(spark, sf_dir):
     return fin, cur, block_cols
 
 
-@query("q163_semantic_dedup_adaptive", oracle=_Q149_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
+def _q163_oracle_at(sf_dir: str) -> str:
+    from .gridsql import q163_oracle_at
+
+    return q163_oracle_at(sf_dir)
+
+
+@query("q163_semantic_dedup_adaptive", oracle=_Q149_ORACLE, tags=("vector", "dedup", "graph", "EXT"), oracle_fn=_q163_oracle_at)
 def q163_semantic_dedup_adaptive(spark, sf_dir):
     """SemDeDup with a CORPUS-ADAPTIVE hierarchical grid: per-level
     codebook sizes come from adaptive_grid(count, target_block=4) —
@@ -397,7 +403,13 @@ def _tree_probe_dedup(spark, sf_dir, target_cell: int):
     return best_match_per_new(scored)
 
 
-@query("q164_incremental_vector_dedup_adaptive", oracle=_Q150_ORACLE, tags=("vector", "dedup", "EXT"))
+def _q164_oracle_at(sf_dir: str) -> str:
+    from .gridsql import tree_probe_oracle_at
+
+    return tree_probe_oracle_at(sf_dir, _IVF_TARGET_CELL)
+
+
+@query("q164_incremental_vector_dedup_adaptive", oracle=_Q150_ORACLE, tags=("vector", "dedup", "EXT"), oracle_fn=_q164_oracle_at)
 def q164_incremental_vector_dedup_adaptive(spark, sf_dir):
     """Incremental-ingest vector dedup probing a CORPUS-ADAPTIVE tree
     index — the registered form of the cells-∝-corpus experiment
@@ -496,7 +508,13 @@ WHERE rn = 1
 """
 
 
-@query("q165_vector_dedup_tree_probe", oracle=_Q165_ORACLE, tags=("vector", "dedup", "EXT"))
+def _q165_oracle_at(sf_dir: str) -> str:
+    from .gridsql import tree_probe_oracle_at
+
+    return tree_probe_oracle_at(sf_dir, _TREE_TARGET_CELL)
+
+
+@query("q165_vector_dedup_tree_probe", oracle=_Q165_ORACLE, tags=("vector", "dedup", "EXT"), oracle_fn=_q165_oracle_at)
 def q165_vector_dedup_tree_probe(spark, sf_dir):
     """q164's tree machinery FORCED multi-level at fixture scale:
     target cell {_TREE_TARGET_CELL} makes adaptive_grid yield a
@@ -534,7 +552,13 @@ FROM common
 """
 
 
-@query("q166_vector_dedup_recall_gate", oracle=_Q166_ORACLE, tags=("vector", "dedup", "EXT"))
+def _q166_oracle_at(sf_dir: str) -> str:
+    from .gridsql import q166_oracle_at
+
+    return q166_oracle_at(sf_dir)
+
+
+@query("q166_vector_dedup_recall_gate", oracle=_Q166_ORACLE, tags=("vector", "dedup", "EXT"), oracle_fn=_q166_oracle_at)
 def q166_vector_dedup_recall_gate(spark, sf_dir):
     """The q145-pattern quality gate for the adaptive probe: run the
     EXACT incremental dedup (q132, full label-block scan) and the
@@ -605,7 +629,13 @@ _Q167_ORACLE = (
 )
 
 
-@query("q167_semantic_dedup_grid_gate", oracle=_Q167_ORACLE, tags=("vector", "dedup", "EXT"))
+def _q167_oracle_at(sf_dir: str) -> str:
+    from .gridsql import q167_oracle_at
+
+    return q167_oracle_at(sf_dir)
+
+
+@query("q167_semantic_dedup_grid_gate", oracle=_Q167_ORACLE, tags=("vector", "dedup", "EXT"), oracle_fn=_q167_oracle_at)
 def q167_semantic_dedup_grid_gate(spark, sf_dir):
     """Survivor-count gate across the three SemDeDup blocking tiers on
     the SAME corpus: exact single-level (q143), fixed 2-level (q149),
@@ -681,7 +711,13 @@ FROM l1
 """
 
 
-@query("q169_adaptive_grid_report", oracle=_Q169_ORACLE, tags=("vector", "dedup", "EXT"))
+def _q169_oracle_at(sf_dir: str) -> str:
+    from .gridsql import q169_oracle_at
+
+    return q169_oracle_at(sf_dir)
+
+
+@query("q169_adaptive_grid_report", oracle=_Q169_ORACLE, tags=("vector", "dedup", "EXT"), oracle_fn=_q169_oracle_at)
 def q169_adaptive_grid_report(spark, sf_dir):
     """The adaptive grid's HEALTH REPORT: per hierarchy level, block
     count, largest block, row total, and mean block size — the index

@@ -337,7 +337,13 @@ def _blocked_knn(spark, sf_dir, nprobe: int = 1):
     )
 
 
-@query("q212_knn_graph_blocked", oracle=_Q212_ORACLE, tags=("vector", "similarity", "EXT"))
+def _q212_oracle_at(sf_dir: str) -> str:
+    from .gridsql import q212_oracle_at
+
+    return q212_oracle_at(sf_dir)
+
+
+@query("q212_knn_graph_blocked", oracle=_Q212_ORACLE, tags=("vector", "similarity", "EXT"), oracle_fn=_q212_oracle_at)
 def q212_knn_graph_blocked(spark, sf_dir):
     """Blocked k-NN graph: assign every vector to its adaptive-grid
     block (depth from adaptive_grid(N, 32) — coarse Lloyd codebook on
@@ -369,9 +375,9 @@ def q212_knn_graph_blocked(spark, sf_dir):
 _KNN_RECALL_MIN = 0.3  # below the fixture-measured 0.35-0.59 band; see docstring
 
 
-def _q213_oracle() -> str:
+def _q213_sql(blocked_sql: str) -> str:
     return f"""
-WITH blocked AS ({_Q212_ORACLE}),
+WITH blocked AS ({blocked_sql}),
 q AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KNN_SAMPLE}
@@ -402,7 +408,17 @@ FROM n, hits h
 """
 
 
-@query("q213_knn_recall_gate", oracle=_q213_oracle(), tags=("vector", "similarity", "gate", "EXT"))
+def _q213_oracle() -> str:
+    return _q213_sql(_Q212_ORACLE)
+
+
+def _q213_oracle_at(sf_dir: str) -> str:
+    from .gridsql import q212_oracle_at
+
+    return _q213_sql(q212_oracle_at(sf_dir))
+
+
+@query("q213_knn_recall_gate", oracle=_q213_oracle(), tags=("vector", "similarity", "gate", "EXT"), oracle_fn=_q213_oracle_at)
 def q213_knn_recall_gate(spark, sf_dir):
     """Recall of the blocked k-NN graph against exact brute force on a
     deterministic md5(vec_id) < '08' query sample (~1/32 of vectors —
@@ -546,7 +562,62 @@ FROM n, nc, hits h
 """
 
 
-@query("q214_knn_multiprobe_gate", oracle=_q214_oracle(), tags=("vector", "similarity", "gate", "EXT"))
+def _q214_oracle_at(sf_dir: str) -> str:
+    from .gridsql import knn_home_probe_ctes
+
+    ctes, cols, home = knn_home_probe_ctes(sf_dir, _KNN_NPROBE)
+    on = " AND ".join(f"p.{c} = h.{c}" for c in cols)
+    return f"""
+WITH {ctes},
+cand AS (
+  SELECT p.vec_id AS vec_id, h.vec_id AS nbr_id
+  FROM pb p JOIN {home} h ON {on} AND h.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT c.vec_id, c.nbr_id,
+         ROUND(list_cosine_similarity(a.v, b.v), 4) AS cs
+  FROM cand c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.nbr_id
+),
+g AS (
+  SELECT vec_id, nbr_id FROM (
+    SELECT vec_id, nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, nbr_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_KNN_K}
+),
+q AS (
+  SELECT vec_id, v FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KNN_SAMPLE}
+),
+exact AS (
+  SELECT vec_id, nbr_id FROM (
+    SELECT q.vec_id, c.vec_id AS nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 4) DESC,
+                                       c.vec_id) AS rnk
+    FROM q JOIN e c ON c.vec_id <> q.vec_id
+  ) WHERE rnk <= {_KNN_K}
+),
+hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM exact e2 JOIN g ON g.vec_id = e2.vec_id AND g.nbr_id = e2.nbr_id
+),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+n AS (SELECT COUNT(DISTINCT vec_id) AS n_queries FROM q)
+SELECT CAST(n.n_queries AS BIGINT) AS n_queries,
+       CAST({_KNN_K} AS BIGINT) AS k,
+       CAST({_KNN_NPROBE} AS BIGINT) AS nprobe,
+       nc.n_candidates,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits AS DOUBLE) / (n.n_queries * {_KNN_K}) AS recall,
+       CASE WHEN CAST(h.n_hits AS DOUBLE) / (n.n_queries * {_KNN_K})
+                 >= {_KNN_MP_RECALL_MIN}
+            THEN 'ok' ELSE 'FAIL recall' END AS recall_gate
+FROM n, nc, hits h
+"""
+
+
+@query("q214_knn_multiprobe_gate", oracle=_q214_oracle(), tags=("vector", "similarity", "gate", "EXT"), oracle_fn=_q214_oracle_at)
 def q214_knn_multiprobe_gate(spark, sf_dir):
     """The nprobe dial applied to the k-NN graph: the query side probes
     its 2 nearest blocks AT THE DEEPEST adaptive-grid level, the
@@ -738,7 +809,7 @@ p AS (
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_DBSCAN_EPS_COS}
 ),
-sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p)"""
+sym AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p)"""
 
 
 def _label_eps_edges(spark, sf_dir):
@@ -901,7 +972,7 @@ def q221_hard_negatives(spark, sf_dir):
 _DBSCAN_NPROBE = 4
 
 
-def _mp_sym_ctes() -> str:
+def _mp_sym_ctes(sym_name: str = "sym") -> str:
     """Oracle CTEs producing sym(a, b) = the multi-probe eps-edge list
     via the fixed-grid SQL twin: probe = each vector's top-
     _DBSCAN_NPROBE cells of the trained codebook (q214's probe CTE),
@@ -931,7 +1002,7 @@ cd AS (
   JOIN e eb ON eb.vec_id = h.vec_id
   WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= {_DBSCAN_EPS_COS}
 ),
-sym AS (
+{sym_name} AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
     SELECT a, b FROM cd UNION ALL SELECT b, a FROM cd
   )
@@ -1001,7 +1072,17 @@ WITH RECURSIVE {_mp_sym_ctes()},
 """
 
 
-@query("q223_dbscan_grid", oracle=_q223_oracle(), tags=("vector", "graph", "EXT"))
+def _q223_oracle_at(sf_dir: str) -> str:
+    from ..operators.dbscan import dbscan_oracle_tail
+    from .gridsql import mp_sym_ctes_at
+
+    return f"""
+WITH RECURSIVE {mp_sym_ctes_at(sf_dir)},
+{dbscan_oracle_tail(_DBSCAN_MIN_NBRS)}
+"""
+
+
+@query("q223_dbscan_grid", oracle=_q223_oracle(), tags=("vector", "graph", "EXT"), oracle_fn=_q223_oracle_at)
 def q223_dbscan_grid(spark, sf_dir):
     """DBSCAN with multi-probe eps-edge generation: candidates =
     top-{_DBSCAN_NPROBE} probed blocks (query side) x home blocks
@@ -1047,14 +1128,14 @@ def q223_dbscan_grid(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def _q224_oracle() -> str:
+def _q224_sql(sym_ctes: str) -> str:
     from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
 
     split = f"""CASE WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_TRAIN_HI}' THEN 'train'
             WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_VAL_HI}' THEN 'val'
             ELSE 'test' END"""
     return f"""
-WITH RECURSIVE {_mp_sym_ctes()},
+WITH RECURSIVE {sym_ctes},
 reach(a, b) AS (
   SELECT a, b FROM sym
   UNION
@@ -1086,7 +1167,17 @@ GROUP BY sp.split
 """
 
 
-@query("q224_leakage_safe_split_grid", oracle=_q224_oracle(), tags=("vector", "gate", "EXT"))
+def _q224_oracle() -> str:
+    return _q224_sql(_mp_sym_ctes())
+
+
+def _q224_oracle_at(sf_dir: str) -> str:
+    from .gridsql import mp_sym_ctes_at
+
+    return _q224_sql(mp_sym_ctes_at(sf_dir))
+
+
+@query("q224_leakage_safe_split_grid", oracle=_q224_oracle(), tags=("vector", "gate", "EXT"), oracle_fn=_q224_oracle_at)
 def q224_leakage_safe_split_grid(spark, sf_dir):
     """q216's repair with linear edge generation: eps-edges from the
     multi-probe candidate join (the q223 edge set — ~0.9 of true
@@ -1197,7 +1288,7 @@ def _knn_block_topk(members_a, members_b, block_cols):
     )
 
 
-@query("q225_knn_graph_incremental", oracle=_Q212_ORACLE, tags=("vector", "pipeline", "EXT"))
+@query("q225_knn_graph_incremental", oracle=_Q212_ORACLE, tags=("vector", "pipeline", "EXT"), oracle_fn=_q212_oracle_at)
 def q225_knn_graph_incremental(spark, sf_dir):
     """The k-NN graph as maintained state: build the neighbor lists
     over history (vec_id % {_KNN_INC_MOD} != 0), persist them to
@@ -1247,7 +1338,7 @@ def q225_knn_graph_incremental(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@query("q228_dbscan_grid_incremental", oracle=_q223_oracle(), tags=("vector", "graph", "pipeline", "EXT"))
+@query("q228_dbscan_grid_incremental", oracle=_q223_oracle(), tags=("vector", "graph", "pipeline", "EXT"), oracle_fn=_q223_oracle_at)
 def q228_dbscan_grid_incremental(spark, sf_dir):
     """Multi-probe DBSCAN as maintained state: build the per-block
     directed eps-CANDIDATE-EDGE lists over the historical slice
@@ -1327,16 +1418,19 @@ def q228_dbscan_grid_incremental(spark, sf_dir):
 _DBSCAN_ROLE_AGREE_MIN = 0.5
 
 
-def _q229_oracle() -> str:
+def _q229_sql(gr_sql: str) -> str:
+    # the label arm is named exl, NOT ex: _km_ctes (inside gr's twin)
+    # defines its own ex (the exploded vector table), and a
+    # MATERIALIZED outer ex breaks the inner name resolution in DuckDB
     return f"""
-WITH ex AS ({_q219_oracle()}),
-gr AS ({_q223_oracle()}),
+WITH exl AS MATERIALIZED ({_q219_oracle()}),
+gr AS MATERIALIZED ({gr_sql}),
 j AS (
-  SELECT ex.vec_id, ex.role AS re, gr.role AS rg
-  FROM ex JOIN gr USING (vec_id)
+  SELECT exl.vec_id, exl.role AS re, gr.role AS rg
+  FROM exl JOIN gr USING (vec_id)
 ),
 pe AS (
-  SELECT a.vec_id AS u, b.vec_id AS v FROM ex a JOIN ex b
+  SELECT a.vec_id AS u, b.vec_id AS v FROM exl a JOIN exl b
   ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
   WHERE a.cluster_id IS NOT NULL
 ),
@@ -1368,7 +1462,15 @@ FROM counts
 """
 
 
-@query("q229_dbscan_agreement_gate", oracle=_q229_oracle(), tags=("vector", "graph", "gate", "EXT"))
+def _q229_oracle() -> str:
+    return _q229_sql(_q223_oracle())
+
+
+def _q229_oracle_at(sf_dir: str) -> str:
+    return _q229_sql(_q223_oracle_at(sf_dir))
+
+
+@query("q229_dbscan_agreement_gate", oracle=_q229_oracle(), tags=("vector", "graph", "gate", "EXT"), oracle_fn=_q229_oracle_at)
 def q229_dbscan_agreement_gate(spark, sf_dir):
     """Measured divergence between the two registered DBSCAN anchors —
     q219 (exact all-pairs eps-edges WITHIN LABEL blocks) and q223

@@ -99,7 +99,7 @@ p AS (
   FROM e a JOIN e b ON a.vec_id < b.vec_id
   WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_DBSCAN_EPS_COS}
 ),
-sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p)"""
+sym AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p)"""
 
 
 def _q232_oracle() -> str:
@@ -165,26 +165,26 @@ _TRUTH_LABEL_AGREE_MIN = 0.45
 _TRUTH_GRID_RECALL_MIN = 0.25
 
 
-def _q233_oracle() -> str:
+def _q233_sql(gr_sql: str) -> str:
     return f"""
-WITH tr AS ({_q232_oracle()}),
-ex AS ({_q219_oracle()}),
-gr AS ({_q223_oracle()}),
-j AS (
-  SELECT tr.vec_id, tr.role AS rt, ex.role AS re, gr.role AS rg
-  FROM tr JOIN ex USING (vec_id) JOIN gr USING (vec_id)
+WITH trth AS MATERIALIZED ({_q232_oracle()}),
+exl AS MATERIALIZED ({_q219_oracle()}),
+gr AS MATERIALIZED ({gr_sql}),
+j AS MATERIALIZED (
+  SELECT trth.vec_id, trth.role AS rt, exl.role AS re, gr.role AS rg
+  FROM trth JOIN exl USING (vec_id) JOIN gr USING (vec_id)
 ),
-pt AS (
-  SELECT a.vec_id AS u, b.vec_id AS v FROM tr a JOIN tr b
+pt AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v FROM trth a JOIN trth b
   ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
   WHERE a.cluster_id IS NOT NULL
 ),
-pe AS (
-  SELECT a.vec_id AS u, b.vec_id AS v FROM ex a JOIN ex b
+pe AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v FROM exl a JOIN exl b
   ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
   WHERE a.cluster_id IS NOT NULL
 ),
-pg AS (
+pg AS MATERIALIZED (
   SELECT a.vec_id AS u, b.vec_id AS v FROM gr a JOIN gr b
   ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
   WHERE a.cluster_id IS NOT NULL
@@ -225,7 +225,17 @@ FROM counts
 """
 
 
-@query("q233_dbscan_truth_gate", oracle=_q233_oracle(), tags=("vector", "graph", "gate", "EXT"))
+def _q233_oracle() -> str:
+    return _q233_sql(_q223_oracle())
+
+
+def _q233_oracle_at(sf_dir: str) -> str:
+    from .vector6 import _q223_oracle_at
+
+    return _q233_sql(_q223_oracle_at(sf_dir))
+
+
+@query("q233_dbscan_truth_gate", oracle=_q233_oracle(), tags=("vector", "graph", "gate", "EXT"), oracle_fn=_q233_oracle_at)
 def q233_dbscan_truth_gate(spark, sf_dir):
     """Three-way DBSCAN agreement against TRUTH: per-vector role
     agreement of the label-blocked anchor (q219) and the grid anchor
@@ -335,10 +345,9 @@ _TRUE_LEAK_MAX_GRID = 0.3
 _TRUE_LEAK_MAX_LABEL = 0.7
 
 
-def _q234_oracle() -> str:
+def _q234_sql(gsp_sym_ctes: str) -> str:
     from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
     from .vector import _Q34_ORACLE
-    from .vector6 import _mp_sym_ctes
 
     split = f"""CASE WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_TRAIN_HI}' THEN 'train'
             WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_VAL_HI}' THEN 'val'
@@ -367,11 +376,11 @@ lsp AS (
   SELECT vec_id, ({split}) AS split FROM assigned
 ),
 gsp AS (
-  WITH RECURSIVE {_mp_sym_ctes()},
+  WITH RECURSIVE {gsp_sym_ctes},
   reach(a, b) AS (
-    SELECT a, b FROM sym
+    SELECT a, b FROM gsym
     UNION
-    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    SELECT r.a, s.b FROM reach r JOIN gsym s ON r.b = s.a
   ),
   cl AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
   assigned AS (
@@ -409,7 +418,19 @@ GROUP BY sp.policy, sp.split
 """
 
 
-@query("q234_split_leakage_truth", oracle=_q234_oracle(), tags=("vector", "gate", "EXT"))
+def _q234_oracle() -> str:
+    from .vector6 import _mp_sym_ctes
+
+    return _q234_sql(_mp_sym_ctes(sym_name="gsym"))
+
+
+def _q234_oracle_at(sf_dir: str) -> str:
+    from .gridsql import mp_sym_ctes_at
+
+    return _q234_sql(mp_sym_ctes_at(sf_dir, sym_name="gsym"))
+
+
+@query("q234_split_leakage_truth", oracle=_q234_oracle(), tags=("vector", "gate", "EXT"), oracle_fn=_q234_oracle_at)
 def q234_split_leakage_truth(spark, sf_dir):
     """The q216/q224 zero-leak proofs re-run against TRUTH: both split
     policies (label-blocked clusters, grid clusters) are re-checked

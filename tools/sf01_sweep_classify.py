@@ -29,21 +29,13 @@ import sys
 # docstring says so; SCALE.md measures both laws). The named gate is
 # the query whose SPARK-side gate column stays green at any scale.
 _FIXTURE_PINNED: dict[str, str] = {
-    "q163_semantic_dedup_adaptive": "gated by q166/q167 (recall + survivor agreement)",
-    "q164_incremental_vector_dedup_adaptive": "gated by q166 (adaptive-vs-exact recall)",
-    "q165_vector_dedup_tree_probe": "gated by q166; depth-2 form bit-verified at fixture",
-    "q166_vector_dedup_recall_gate": "IS the gate — its Spark-side recall_gate column stays green; only the fixed-grid oracle twin diverges",
-    "q167_semantic_dedup_grid_gate": "IS the gate — runs both arms by contract",
-    "q169_adaptive_grid_report": "reports the adaptive tree itself (deeper than the pinned twin beyond fixture)",
-    "q212_knn_graph_blocked": "gated by q213 (recall vs exact brute force)",
-    "q213_knn_recall_gate": "IS the gate — Spark-side recall_gate green at sf0.1",
-    "q214_knn_multiprobe_gate": "IS the gate — Spark-side recall_gate green at sf0.1",
-    "q215_label_propagation_audit": "consumes q212's graph; blocked contract priced by q213",
-    "q223_dbscan_grid": "gated by q229 (agreement vs the exact anchor)",
-    "q224_leakage_safe_split_grid": "grid twin of q216; q229 measures the blocking divergence",
-    "q225_knn_graph_incremental": "refresh ≡ rebuild holds at ANY scale vs q212's LIVE form; only the fixed-grid SQL twin diverges",
-    "q228_dbscan_grid_incremental": "refresh ≡ rebuild holds at ANY scale vs q223's LIVE form; only the fixed-grid SQL twin diverges",
-    "q229_dbscan_agreement_gate": "IS the gate — Spark-side agreement_gate green at sf0.1",
+    # EMPTY since round 12: the whole adaptive-grid family carries
+    # scale-aware oracle twins (queries/gridsql.py, QuerySpec.oracle_fn)
+    # that regenerate the SQL for the sweep's corpus size, so the
+    # former 15-query expected-divergence list hash-matches at sf0.1
+    # now. The classifier stays for future queries whose oracles pin a
+    # fixture form by documented contract — add them here with the
+    # gate that measures the divergence honestly.
 }
 
 
