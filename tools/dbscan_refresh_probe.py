@@ -8,10 +8,13 @@ both epochs in one query), so the row alone cannot show the saving.
 This probe separates the two in a warm-index session:
 
   rebuild  = score ALL probe x home candidates + label (q223's shape)
-  refresh  = given persisted epoch-0 candidate edges over history,
-             re-score ONLY blocks the ~1% batch probes into, read
-             untouched blocks' edges back verbatim, then re-label the
-             merged (tiny) edge list
+  refresh  = given the persisted epoch-0 (hist x hist) edge list,
+             score only the pairs the ~1% batch can create —
+             probes(batch) x home(full) and probes(hist) x
+             home(batch), the endpoint-membership partition — then
+             re-label the merged (tiny) edge list. (A touched-block
+             strategy degenerates to 2x rebuild here: the 17-block
+             probe footprint of a 1% batch touches ~every block.)
 
 Usage: python tools/dbscan_refresh_probe.py [--sf .scale/sf1.0]
 """
@@ -72,32 +75,31 @@ def main() -> None:
     e0 = parquet_checkpoint(
         _mp_eps_candidates(
             probe.filter(~is_new), home.filter(~is_new), block_cols
-        ),
+        ).select("a", "b"),
         "probe_dbscan_mp_epoch0_",
     )
 
-    n_blocks = home.select(*block_cols).distinct().count()
-    n_touched = probe.filter(is_new).select(*block_cols).distinct().count()
+    n_batch = home.filter(is_new).count()
+    n_corpus = home.count()
 
     best_refresh = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
-        touched = probe.filter(is_new).select(*block_cols).distinct()
-        cand1 = _mp_eps_candidates(
-            probe.join(touched, block_cols),
-            home.join(touched, block_cols),
-            block_cols,
-        )
-        untouched = e0.join(touched, block_cols, "left_anti")
-        materialize(label(untouched.unionByName(cand1)))
+        c_new_a = _mp_eps_candidates(
+            probe.filter(is_new), home, block_cols
+        ).select("a", "b")
+        c_hist_new = _mp_eps_candidates(
+            probe.filter(~is_new), home.filter(is_new), block_cols
+        ).select("a", "b")
+        materialize(label(e0.unionByName(c_new_a).unionByName(c_hist_new)))
         el = time.perf_counter() - t0
         if i:
             best_refresh = min(best_refresh, el)
 
     print(
         f"rebuild {best_rebuild:.2f}s | refresh {best_refresh:.2f}s "
-        f"({best_refresh / best_rebuild:.0%} of rebuild) | touched "
-        f"{n_touched}/{n_blocks} blocks ({n_touched / n_blocks:.0%})"
+        f"({best_refresh / best_rebuild:.0%} of rebuild) | batch "
+        f"{n_batch}/{n_corpus} vectors"
     )
 
 

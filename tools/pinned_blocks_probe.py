@@ -56,6 +56,14 @@ FAMILY = [
     "q225_knn_graph_incremental",
     "q228_dbscan_grid_incremental",
     "q229_dbscan_agreement_gate",
+    # round-12 truth/lifecycle additions: q232/q233 build the truth arm
+    # live, q234 parquet_checkpoints it, q235 is the broadcast-sample
+    # pre-flight, q236 persists the frozen-codebook epoch artifact.
+    "q232_dbscan_truth",
+    "q233_dbscan_truth_gate",
+    "q234_split_leakage_truth",
+    "q235_eps_percolation_guard",
+    "q236_knn_index_refresh",
 ]
 
 
