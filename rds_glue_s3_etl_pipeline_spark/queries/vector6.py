@@ -13,8 +13,11 @@ pair work stays linear — the fixed 16-cell form measured quadratic:
 45 s at 10x) with candidates within-block only — the IVF-nprobe=1
 regime — and q213 pins the recall price of that blocking the same way
 q166 pins the dedup grid's. At the sf0.01 oracle fixture the adaptive
-rule reproduces the single-level 16-cell grid, so every oracle here is
-the _km_ctes fixed-grid SQL twin (the q163/q149 equality pattern).
+rule reproduces the single-level 16-cell grid, so every STATIC oracle
+here is the _km_ctes fixed-grid SQL twin (the q163/q149 equality
+pattern); since round 12 each query also carries a SCALE-AWARE twin
+(queries/gridsql.py, QuerySpec.oracle_fn) that regenerates the SQL
+for the corpus at hand, hash-verified at sf0.1.
 
 Reference scope: beyond-reference training-data families (SURVEY
 §2.11); the reference job has no vector surface.
@@ -911,9 +914,14 @@ def q219_dbscan_embeddings(spark, sf_dir):
     reference job.
     """
     from ..operators.dbscan import dbscan_from_edges
+    from ..scratch import parquet_checkpoint
 
     e = load(spark, sf_dir, "embeddings").select("vec_id")
-    return dbscan_from_edges(e, _label_eps_edges(spark, sf_dir), _DBSCAN_MIN_NBRS)
+    # file-backed before the label pass: every CC round re-evaluates
+    # its input lineage, and live that re-runs the label-blocked pair
+    # scan per round (the q232 lesson, same round)
+    sym = parquet_checkpoint(_label_eps_edges(spark, sf_dir), "q219_sym_")
+    return dbscan_from_edges(e, sym, _DBSCAN_MIN_NBRS)
 
 
 # --------------------------------------------------------------------------
@@ -1440,7 +1448,16 @@ def q228_dbscan_grid_incremental(spark, sf_dir):
     c_hist_new = _mp_eps_candidates(
         probe.filter(~is_new), home.filter(is_new), block_cols
     ).select("a", "b")
-    sym = _mp_symmetrize(e0.unionByName(c_new_a).unionByName(c_hist_new))
+    # file-back the merged list before the label pass — the degree /
+    # core-core / border consumers and each CC round re-evaluate their
+    # input, and the union's live lineage includes the increment joins
+    # (the q232 lesson, same round)
+    from ..scratch import parquet_checkpoint
+
+    sym = parquet_checkpoint(
+        _mp_symmetrize(e0.unionByName(c_new_a).unionByName(c_hist_new)),
+        "q228_sym_",
+    )
     ids = load(spark, sf_dir, "embeddings").select("vec_id")
     return dbscan_from_edges(ids, sym, _DBSCAN_MIN_NBRS)
 

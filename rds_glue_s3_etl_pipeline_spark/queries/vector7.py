@@ -130,9 +130,18 @@ def q232_dbscan_truth(spark, sf_dir):
     round 11 measured at 0.3; see module docstring) — the registered
     truth the blocked arms are measured against."""
     from ..operators.dbscan import dbscan_from_edges
+    from ..scratch import parquet_checkpoint
 
     ids = load(spark, sf_dir, "embeddings").select("vec_id")
-    return dbscan_from_edges(ids, _true_eps_edges(spark, sf_dir), _DBSCAN_MIN_NBRS)
+    # file-back the edge list BEFORE the label pass: dbscan_from_edges'
+    # consumers (degree, core-core join, border) and every CC
+    # star-contraction round re-evaluate their input lineage — live,
+    # that re-runs the all-pairs broadcast scan per round (measured
+    # 16 → 64 s at sf0.1 when the re-anchored eps produced CHAIN
+    # components, whose larger diameter needs more contraction rounds).
+    # The checkpointed list is mean-degree x N rows — pennies to write.
+    sym = parquet_checkpoint(_true_eps_edges(spark, sf_dir), "q232_true_sym_")
+    return dbscan_from_edges(ids, sym, _DBSCAN_MIN_NBRS)
 
 
 # --------------------------------------------------------------------------
