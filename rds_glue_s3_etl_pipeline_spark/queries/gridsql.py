@@ -22,10 +22,12 @@ Every generator mirrors one Spark code path bit-for-bit:
                             multi-probe + the home-block union)
 * ``mp_sym_ctes_at``    <-> vector6._mp_eps_candidates + _mp_symmetrize
 
-Depth support: the probe rule is generated for trees of depth 1 and 2
-(every oracle-sweep scale: sf0.001/sf0.01/sf0.1). Deeper trees (10x+)
-raise — those scales are probed by the measured-gate protocol, not by
-oracle sweeps (SCALE.md).
+Depth support: every generator handles ARBITRARY tree depth (round
+13 lifted the old depth-2 probe bound — the descent loop in
+``probe_ctes`` mirrors vector6._knn_assignments level by level), so
+the 10x scale corpus (knn tree [16, 8, 5], sem tree [16, 8, 8, 5])
+joins the oracle-certified protocol: `python tools/oracle_check.py
+--sf .scale/sf1.0 q163... q212... q223...` hash-matches there too.
 """
 
 from __future__ import annotations
@@ -37,10 +39,20 @@ _COS = "list_cosine_similarity"
 
 def n_rows(sf_dir: str, table: str = "embeddings") -> int:
     """Corpus row count from parquet footer metadata — no engine
-    needed at oracle-generation time."""
+    needed at oracle-generation time. Handles both layouts: a single
+    file (the driver's testdata) and a Spark-written directory of
+    part files (the 10x scale corpus, tools/scale_probe.py)."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def knn_ks(sf_dir: str) -> list[int]:
@@ -150,11 +162,16 @@ lvl{i + 1} AS (
 
 def probe_ctes(ks: list[int], iters: int, nprobe: int) -> str:
     """CTE ``pb(vec_id, *block_cols)`` — the query-side multi-probe
-    block set, mirroring vector6._knn_assignments: depth 1 = plain
-    top-nprobe coarse cells (home ⊆ probes by argmax); depth 2 =
-    top-nprobe PARENT cells, best nprobe² deepest blocks overall, then
-    the home-block union with dedup. Requires home_ctes' CTEs in
-    scope. Deeper trees are outside oracle-sweep scales."""
+    block set, mirroring vector6._knn_assignments at ANY tree depth
+    (round-13 verdict item #5 lifted the old depth-2 bound): depth 1 =
+    plain top-nprobe coarse cells (home ⊆ probes by argmax); depth ≥ 2
+    descends with top-``nprobe`` at every level above the deepest
+    (``p1``..``p{L-2}`` rank per vec_id ACROSS all probed parents —
+    the Spark window partitions by vec_id only), keeps the best
+    ``nprobe²`` deepest blocks overall, then unions the home block
+    with dedup (probe ⊇ home). Sub-codebooks are home_ctes' ``sub{j}``
+    CTEs — the same md5 sample the build used, so the descent rescores
+    bit-identical centroids. Requires home_ctes' CTEs in scope."""
     cols = _block_cols(ks)
     home = f"lvl{len(ks) - 1}"
     if len(ks) == 1:
@@ -167,14 +184,9 @@ def probe_ctes(ks: list[int], iters: int, nprobe: int) -> str:
     FROM e CROSS JOIN cent{iters} c
   ) WHERE rn <= {nprobe}
 )"""
-    if len(ks) != 2:
-        raise NotImplementedError(
-            f"scale-aware probe twin supports tree depth 1-2; got ks={ks} "
-            "(deeper scales are covered by the measured-gate protocol, "
-            "not oracle sweeps — see SCALE.md)"
-        )
     pc = ", ".join(cols)
-    return f"""par AS (
+    parts = [
+        f"""par AS (
   SELECT vec_id, c_id FROM (
     SELECT e.vec_id, c.c_id,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -182,25 +194,43 @@ def probe_ctes(ks: list[int], iters: int, nprobe: int) -> str:
                                        c.c_id) AS rn
     FROM e CROSS JOIN cent{iters} c
   ) WHERE rn <= {nprobe}
-),
-pall AS (
-  SELECT vec_id, {pc} FROM (
-    SELECT m.vec_id, p.c_id, s.s0_id,
+)"""
+    ]
+    prev = "par"
+    # Descent level j consumes sub{j} (keyed on cols[:j], emitting
+    # cols[j]): intermediate levels keep top-nprobe blocks per vector,
+    # the deepest keeps nprobe² — vector6._knn_assignments' budgets.
+    for j in range(1, len(ks)):
+        sid = cols[j]
+        par_cols = ", ".join(f"p.{c}" for c in cols[:j])
+        out_cols = ", ".join(cols[: j + 1])
+        on = " AND ".join(f"s.{c} = p.{c}" for c in cols[:j])
+        keep = nprobe * nprobe if j == len(ks) - 1 else nprobe
+        name = "pall" if j == len(ks) - 1 else f"p{j}"
+        parts.append(
+            f"""{name} AS (
+  SELECT vec_id, {out_cols} FROM (
+    SELECT m.vec_id, {par_cols}, s.{sid},
            ROW_NUMBER() OVER (PARTITION BY m.vec_id
                               ORDER BY ROUND({_COS}(m.v, s.sv), 4) DESC,
-                                       s.s0_id) AS rn
+                                       s.{sid}) AS rn
     FROM e m
-    JOIN par p ON p.vec_id = m.vec_id
-    JOIN sub1 s ON s.c_id = p.c_id
-  ) WHERE rn <= {nprobe * nprobe}
-),
-pb AS (
+    JOIN {prev} p ON p.vec_id = m.vec_id
+    JOIN sub{j} s ON {on}
+  ) WHERE rn <= {keep}
+)"""
+        )
+        prev = name
+    parts.append(
+        f"""pb AS (
   SELECT DISTINCT vec_id, {pc} FROM (
     SELECT vec_id, {pc} FROM pall
     UNION ALL
     SELECT vec_id, {pc} FROM {home}
   )
 )"""
+    )
+    return ",\n".join(parts)
 
 
 def knn_home_probe_ctes(sf_dir: str, nprobe: int) -> tuple[str, list[str], str]:
@@ -255,9 +285,9 @@ def mp_sym_ctes_at(sf_dir: str, sym_name: str = "sym") -> str:
     instead of re-evaluating the whole twin (measured 257 s -> 2.7 s
     at sf0.1). ``sym_name`` lets a nested scope avoid shadowing an
     outer MATERIALIZED sym (DuckDB rejects the duplicate alias)."""
-    from .vector6 import _DBSCAN_EPS_COS, _DBSCAN_NPROBE
+    from .vector6 import _DBSCAN_EPS_COS, _dbscan_nprobe
 
-    ctes, cols, home = knn_home_probe_ctes(sf_dir, _DBSCAN_NPROBE)
+    ctes, cols, home = knn_home_probe_ctes(sf_dir, _dbscan_nprobe(knn_ks(sf_dir)))
     on = " AND ".join(f"p.{c} = h.{c}" for c in cols)
     return f"""{ctes},
 cd AS (

@@ -1013,12 +1013,39 @@ def q221_hard_negatives(spark, sf_dir):
 #   nprobe            1      2      3      4      5      6
 #   edge recall f/s01 .37/.13 .71/.44 .81/.66 .90/.79 —/.86 —/.90
 #   pair recall f/s01 .22/.007 .60/.06 .82/.19 1.0/.30 —/.39 —/.56
-# nprobe=4 is the knee at the fixture (pair recall 1.0) with sf0.1
-# edge recall ~0.8; the sf0.1 pair metric stays chain-limited because
-# that corpus sits near criticality at eps 0.4 (mean degree 0.92, max
-# true component 75 — one missed edge in a long chain drops its C(m,2)
-# co-memberships combinatorially). q233 floors the measured band.
+# nprobe=4 is the knee at the fixture (pair recall 1.0); at sf0.1 the
+# pair metric stays chain-limited because that corpus sits near
+# criticality at eps 0.4 (mean degree 0.92, max true component 75 —
+# one missed edge in a long chain drops its C(m,2) co-memberships
+# combinatorially), so every missed edge costs COMPOUNDING pair
+# recall. The probe budget therefore scales with TREE DEPTH, the
+# q214 precedent (round-13 verdict item #3): a depth-1 tree (fixture
+# scales) keeps nprobe=4 — the fixture knee, pair recall 1.0, and the
+# pinned static oracles are untouched; a depth>=2 tree means the
+# corpus outgrew one grid level, its components chain across blocks,
+# and the deeper budget buys sf0.1 edge recall 0.79 -> 0.90 and pair
+# recall 0.30 -> 0.56 for 2.25x candidate work (still linear:
+# N x nprobe² x block). q233 floors the measured band at each depth.
 _DBSCAN_NPROBE = 4
+_DBSCAN_NPROBE_DEEP = 6
+# Per-block candidate ceiling for the mp edge join (the analogue of
+# operators.dbscan.max_block_edges for the blocked plan): a healthy
+# index holds per-block work at ~(nprobe²+1) x block² ≈ 37k pairs —
+# 2M means the grid has effectively stopped separating the corpus.
+_MP_MAX_BLOCK_EDGES = 2_000_000
+
+
+def _dbscan_nprobe(ks) -> int:
+    """Depth-scaled probe budget for eps-edge generation: 4 on a
+    depth-1 tree (single grid level — the fixture operating point,
+    measured pair recall 1.0), {_DBSCAN_NPROBE_DEEP} once the
+    adaptive tree deepens (blocks shrink relative to the eps-ball, so
+    true eps-edges increasingly cross blocks; the dial table above
+    prices the trade). Shared by the Spark edge builder
+    (_mp_eps_edges, q228's refresh) and the scale-aware oracle twin
+    (gridsql.mp_sym_ctes_at) so both engines always probe the same
+    budget for a given corpus."""
+    return _DBSCAN_NPROBE if len(ks) == 1 else _DBSCAN_NPROBE_DEEP
 
 
 def _mp_sym_ctes(sym_name: str = "sym") -> str:
@@ -1092,7 +1119,38 @@ def _mp_symmetrize(cand):
     return p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
 
 
-def _mp_eps_edges(spark, sf_dir, nprobe: int = _DBSCAN_NPROBE):
+def _mp_block_guard(probe, home, block_cols, max_block_edges: int) -> None:
+    """Fail-fast skew guard on the mp candidate join (round-13 verdict
+    item #6): per block key, candidate work = probe-side rows x
+    home-side rows. A degenerate corpus (one hub block swallowing the
+    embedding space) re-creates exactly the quadratic blow-up the
+    blocked union-find fail-fasted on — but the mp join had no guard,
+    so the job would grind instead of failing loudly with the
+    operator's remediation (retrain via q169's grid-health trigger /
+    q236's lifecycle). Cost: two block-key counts + a broadcast-size
+    join over n_blocks rows — noise next to the candidate join it
+    protects."""
+    pc = probe.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("np_"))
+    hc = home.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("nh_"))
+    worst = (
+        pc.join(hc, block_cols)
+        .select((F.col("np_") * F.col("nh_")).alias("cand"), *block_cols)
+        .orderBy(F.desc("cand"))
+        .limit(1)
+        .collect()
+    )
+    if worst and worst[0]["cand"] > max_block_edges:
+        r = worst[0]
+        key = ", ".join(f"{c}={r[c]}" for c in block_cols)
+        raise RuntimeError(
+            f"mp eps-edge block ({key}) would score {r['cand']} candidate "
+            f"pairs (> max_block_edges={max_block_edges}) — the grid index "
+            "no longer separates this corpus (hub block). Retrain the index "
+            "(q236 lifecycle); q169's grid-health report is the trigger."
+        )
+
+
+def _mp_eps_edges(spark, sf_dir, nprobe: int | None = None):
     """Build-once symmetric multi-probe eps-edge list, persisted into
     the k-NN index artifact (same fingerprint lifecycle — evicted and
     rebuilt with the index): six registered consumers (q223, q224,
@@ -1100,13 +1158,19 @@ def _mp_eps_edges(spark, sf_dir, nprobe: int = _DBSCAN_NPROBE):
     parquet instead of re-scoring N x nprobe² x block candidates each,
     exactly as a production pipeline builds its eps-graph once per
     corpus epoch. Edge rows are (a, b) directed-once — the
-    duplicate-sensitivity contract of dbscan_from_edges."""
+    duplicate-sensitivity contract of dbscan_from_edges. The probe
+    budget defaults to the depth-scaled rule (_dbscan_nprobe) so the
+    artifact name, the Spark plan and the oracle twin stay in
+    lockstep per corpus."""
     import os
 
     meta = _knn_index(spark, sf_dir)
+    if nprobe is None:
+        nprobe = _dbscan_nprobe(meta["ks"])
     path = f"{meta['dir']}/eps_edges_p{nprobe}_e{int(round(_DBSCAN_EPS_COS * 100))}.parquet"
     if not os.path.isdir(path):
         home, probe, block_cols = _knn_assignments(spark, sf_dir, nprobe)
+        _mp_block_guard(probe, home, block_cols, _MP_MAX_BLOCK_EDGES)
         sym = _mp_symmetrize(_mp_eps_candidates(probe, home, block_cols))
         sym.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -1432,7 +1496,8 @@ def q228_dbscan_grid_incremental(spark, sf_dir):
     from ..operators.dbscan import dbscan_from_edges
     from ..scratch import scratch_dir
 
-    home, probe, block_cols = _knn_assignments(spark, sf_dir, _DBSCAN_NPROBE)
+    nprobe = _dbscan_nprobe(_knn_index(spark, sf_dir)["ks"])
+    home, probe, block_cols = _knn_assignments(spark, sf_dir, nprobe)
     is_new = F.col("vec_id") % _KNN_INC_MOD == 0
 
     cand0 = _mp_eps_candidates(
@@ -1470,16 +1535,20 @@ def q228_dbscan_grid_incremental(spark, sf_dir):
 # overlap between the two registered anchors, with a floor.
 # --------------------------------------------------------------------------
 
-# Floor below the measured MULTI-SCALE band at the round-12 operating
-# point (eps 0.4, mp edges): fixture 0.938, sf0.1 0.6665 — both arms
-# now approximate a COMMON sparse truth (q232), so their mutual
-# agreement is high and stable where the percolating eps 0.3 made it
-# structurally unstable (round-10's 0.4 → 0.3 retreat, explained by
-# round-11's truth anchor). The label arm finds far fewer pairs than
-# the grid arm at this eps (true edges are mostly cross-label —
-# fixture 0 vs 55 pairs, sf0.1 24 vs 2397, Jaccard ≈ 0), which is the
-# expected blocking asymmetry, not drift; truth-based quality floors
-# live on q233, this floor stays the two-arm regression tripwire.
+# Floor below the measured MULTI-SCALE band at the round-13 operating
+# point (eps 0.4, mp edges, depth-scaled nprobe): fixture 0.938,
+# sf0.1 0.606 — both arms approximate a COMMON sparse truth (q232),
+# so their mutual agreement is stable where the percolating eps 0.3
+# made it structurally unstable (round-10's 0.4 → 0.3 retreat,
+# explained by round-11's truth anchor). Note the nprobe 4 → 6 step
+# at sf0.1 moved this number DOWN (0.6665 → 0.606) while moving both
+# truth agreements UP (q233: grid 0.8585 → 0.9355) — the grid arm got
+# closer to truth and therefore further from the structurally-blind
+# label arm, which is exactly why truth-based floors live on q233 and
+# this one is only the two-arm regression tripwire. The label arm
+# finds far fewer pairs than the grid arm at this eps (true edges are
+# mostly cross-label — fixture 0 vs 55 pairs, sf0.1 24 vs 4447,
+# Jaccard ≈ 0): the expected blocking asymmetry, not drift.
 _DBSCAN_ROLE_AGREE_MIN = 0.5
 
 

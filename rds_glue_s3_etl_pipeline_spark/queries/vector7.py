@@ -151,14 +151,17 @@ def q232_dbscan_truth(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 # Measured at the re-anchored eps 0.4 + the multi-probe edge
-# generator (round 12 — the defensible operating point the round-11
-# percolation finding demanded): GRID role agreement with truth is
-# 1.000 at the fixture / 0.8585 at sf0.1, and grid pair recall is
-# 1.000 / 0.3036 (the sf0.1 number is chain-limited: that corpus sits
-# near criticality at eps 0.4 — mean degree 0.92, max true component
-# 75 — and transitive co-membership decays combinatorially with each
-# missed edge even at 0.79 edge recall; the dial table in SCALE.md
-# carries the nprobe curve). The LABEL arm is structurally blind at
+# generator with the DEPTH-SCALED probe budget (round 13 — nprobe 4
+# on depth-1 trees, 6 once the adaptive tree deepens; vector6.
+# _dbscan_nprobe): GRID role agreement with truth is 1.000 at the
+# fixture / 0.9355 at sf0.1, and grid pair recall is 1.000 / 0.5633.
+# (Round 12's nprobe=4-everywhere numbers were 0.8585 / 0.3036 — the
+# sf0.1 corpus sits near criticality at eps 0.4, mean degree 0.92,
+# max true component 75, so transitive co-membership decays
+# combinatorially with each missed edge; the deeper budget buys edge
+# recall 0.79 -> 0.90 and more than doubles pair recall for 2.25x of
+# the linear candidate work. The dial table in SCALE.md carries the
+# full nprobe curve.) The LABEL arm is structurally blind at
 # the family eps — true 0.4-edges are overwhelmingly CROSS-label
 # (54/59 at the fixture), so its pair recall is ~0 (0.000 / 0.003)
 # BY CONSTRUCTION of its blocking, not by regression: q219 remains
@@ -166,12 +169,14 @@ def q232_dbscan_truth(spark, sf_dir):
 # report-only column (a floor would be vacuous or false); its ROLE
 # agreement (0.938 / 0.5555 — most vectors are noise in both) keeps
 # a floor as the regression tripwire.
-_TRUTH_GRID_AGREE_MIN = 0.75
+_TRUTH_GRID_AGREE_MIN = 0.85
 _TRUTH_LABEL_AGREE_MIN = 0.45
 # Grid pair recall floor (round-11 verdict item #1's "materially
-# high" requirement — measured 1.000 at the fixture, 0.3036 at sf0.1;
-# the floor sits under the weakest measured scale with margin).
-_TRUTH_GRID_RECALL_MIN = 0.25
+# high" requirement, raised per round-13 verdict item #3 — measured
+# 1.000 at the fixture, 0.5633 at sf0.1 under the depth-scaled
+# budget; the floor sits under the weakest measured scale with
+# margin).
+_TRUTH_GRID_RECALL_MIN = 0.45
 
 
 def _q233_sql(gr_sql: str) -> str:
@@ -339,10 +344,11 @@ def q233_dbscan_truth_gate(spark, sf_dir):
 # CEILINGS on the measured band:
 # * GRID policy (clusters from the mp eps-0.4 edge set — the relation
 #   it is DESIGNED to guard): measured 0/22 val + 2/31 test at the
-#   fixture, 15/103 + 25/118 at sf0.1 (max rate 0.212 — the residual
-#   is exactly the ~0.2 of true edges the probe set misses; SCALE.md
-#   dial). Ceiling 0.3: real margin, fires far below the percolating
-#   signature (~1.0).
+#   fixture, 9/123 + 11/114 at sf0.1 under the depth-scaled nprobe
+#   (round 13 — max rate 0.096, down from 0.212 at nprobe 4; the
+#   residual is exactly the ~0.1 of true edges the probe set still
+#   misses; SCALE.md dial). Ceiling 0.2: real margin, fires far below
+#   the percolating signature (~1.0).
 # * LABEL policy (q216's clusters from the 0.3 label-blocked near-dup
 #   relation — a DIFFERENT contract, exactly leak-free there by its
 #   own re-proof): against the 0.4 truth it leaks through cross-label
@@ -350,7 +356,7 @@ def q233_dbscan_truth_gate(spark, sf_dir):
 #   ceiling is the honest tripwire (the policy is documented as NOT
 #   truth-leak-safe at the family eps — use the grid policy when the
 #   eval set must be guarded against embedding-space neighbors).
-_TRUE_LEAK_MAX_GRID = 0.3
+_TRUE_LEAK_MAX_GRID = 0.2
 _TRUE_LEAK_MAX_LABEL = 0.7
 
 
@@ -453,9 +459,9 @@ def q234_split_leakage_truth(spark, sf_dir):
     every split — the gate could only pin the degenerate fact). At 0.4
     the sparse truth relation is actually guardable: the GRID policy
     (clusters from the mp eps-edge set, the relation it guards) leaks
-    0-6% at the fixture and 15-21% at sf0.1 — the residual is exactly
-    the ~0.2 of true edges the nprobe=4 probe set misses — ceiling
-    0.3; the LABEL policy guards the 0.3 near-dup relation (leak-free
+    0-6% at the fixture and 7-10% at sf0.1 — the residual is exactly
+    the ~0.1 of true edges the depth-scaled probe set misses — ceiling
+    0.2; the LABEL policy guards the 0.3 near-dup relation (leak-free
     there by q216's own re-proof) and against the 0.4 truth leaks
     through cross-label true edges (0.10-0.55 measured band, ceiling
     0.7 as the percolation tripwire). The report now tells a user

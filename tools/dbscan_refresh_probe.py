@@ -34,9 +34,10 @@ from rds_glue_s3_etl_pipeline_spark.operators.dbscan import (  # noqa: E402
 )
 from rds_glue_s3_etl_pipeline_spark.queries.vector6 import (  # noqa: E402
     _DBSCAN_MIN_NBRS,
-    _DBSCAN_NPROBE,
+    _dbscan_nprobe,
     _KNN_INC_MOD,
     _knn_assignments,
+    _knn_index,
     _mp_eps_candidates,
     _mp_symmetrize,
 )
@@ -55,7 +56,9 @@ def main() -> None:
     spark = get_spark("dbscan_refresh_probe", cpus=32, shuffle_partitions=32)
 
     # index build here (untimed: shared artifact)
-    home, probe, block_cols = _knn_assignments(spark, args.sf, _DBSCAN_NPROBE)
+    home, probe, block_cols = _knn_assignments(
+        spark, args.sf, _dbscan_nprobe(_knn_index(spark, args.sf)["ks"])
+    )
     ids = home.select("vec_id")
     is_new = F.col("vec_id") % _KNN_INC_MOD == 0
 
