@@ -1038,7 +1038,7 @@ _MP_MAX_BLOCK_EDGES = 2_000_000
 def _dbscan_nprobe(ks) -> int:
     """Depth-scaled probe budget for eps-edge generation: 4 on a
     depth-1 tree (single grid level — the fixture operating point,
-    measured pair recall 1.0), {_DBSCAN_NPROBE_DEEP} once the
+    measured pair recall 1.0), 6 once the
     adaptive tree deepens (blocks shrink relative to the eps-ball, so
     true eps-edges increasingly cross blocks; the dial table above
     prices the trade). Shared by the Spark edge builder
