@@ -1127,9 +1127,14 @@ def _mp_block_guard(probe, home, block_cols, max_block_edges: int) -> None:
     blocked union-find fail-fasted on — but the mp join had no guard,
     so the job would grind instead of failing loudly with the
     operator's remediation (retrain via q169's grid-health trigger /
-    q236's lifecycle). Cost: two block-key counts + a broadcast-size
-    join over n_blocks rows — noise next to the candidate join it
-    protects."""
+    q236's lifecycle). Cost: the two block-key counts are lazy PLANS —
+    probe/home are usually un-materialized multi-probe assignments, so
+    this collect() evaluates the full assignment (corpus-wide windows
+    + codebook scoring) once more before the candidate join evaluates
+    it again. One extra linear assignment pass per ARTIFACT BUILD (not
+    per query — every caller sits on the build-once path), paid to
+    fail fast before a quadratic grind; the n_blocks-row join itself
+    is noise."""
     pc = probe.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("np_"))
     hc = home.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("nh_"))
     worst = (
@@ -1498,6 +1503,12 @@ def q228_dbscan_grid_incremental(spark, sf_dir):
 
     nprobe = _dbscan_nprobe(_knn_index(spark, sf_dir)["ks"])
     home, probe, block_cols = _knn_assignments(spark, sf_dir, nprobe)
+    # One guard on the FULL probe x home covers all three filtered
+    # sub-joins below (each filters rows out, so its per-block
+    # candidate count is <= the full join's) — round-13 ADVICE: the
+    # epoch-0 and incremental joins ground quadratically on a hub
+    # block while only the one-shot artifact build was guarded.
+    _mp_block_guard(probe, home, block_cols, _MP_MAX_BLOCK_EDGES)
     is_new = F.col("vec_id") % _KNN_INC_MOD == 0
 
     cand0 = _mp_eps_candidates(

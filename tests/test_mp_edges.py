@@ -250,3 +250,66 @@ def test_gridsql_depth2_twin_hash_matches_spark(spark, tmp_path):
     assert list(sdf["nbr_id"]) == list(ddf["nbr_id"])
     assert list(sdf["rnk"]) == list(ddf["rnk"])
     assert list(sdf["cs"]) == list(ddf["cs"])  # 4dp-rounded: exact
+
+
+def test_gridsql_depth3_twin_probe_set_matches_spark(spark, tmp_path, monkeypatch):
+    """The arbitrary-depth twin descent (gridsql.probe_ctes, round-13)
+    in a 10-second pytest instead of a 70-minute 10x sweep (round-14
+    verdict item #4): force ks=[2,2,2] on a 60-vector corpus and
+    assert the DuckDB probe set equals _knn_assignments' probe set
+    row-for-row — every descent level (top-nprobe at each level above
+    the deepest, nprobe² at the deepest, home union) in one compare."""
+    import duckdb
+
+    from tests.test_knn_index import _write_embeddings
+
+    from rds_glue_s3_etl_pipeline_spark.operators import similarity
+    from rds_glue_s3_etl_pipeline_spark.queries import gridsql, vector6
+    from rds_glue_s3_etl_pipeline_spark.queries.vector3 import _KM_ITERS
+    from rds_glue_s3_etl_pipeline_spark.queries.vector5 import _TRAIN_SAMPLE
+
+    ks = [2, 2, 2]
+    monkeypatch.setattr(similarity, "adaptive_grid", lambda *a, **kw: list(ks))
+    out = str(tmp_path / "fix_d3")
+    _write_embeddings(spark, out, 60)
+    assert gridsql.knn_ks(out) == ks  # the forced depth-3 tree is live
+
+    nprobe = 2
+    home, probe, block_cols = vector6._knn_assignments(spark, out, nprobe=nprobe)
+    assert block_cols == ["c_id", "s0_id", "s1_id"]
+    key = ["vec_id", *block_cols]
+    sdf = (
+        probe.select(*key).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    # probe ⊇ home: every vector keeps its own block
+    assert home.select(*key).exceptAll(probe.select(*key)).count() == 0
+
+    home_sql, cols = gridsql.home_ctes(ks, _KM_ITERS, _TRAIN_SAMPLE)
+    sql = (
+        f"WITH {home_sql},\n{gridsql.probe_ctes(ks, _KM_ITERS, nprobe)}\n"
+        f"SELECT vec_id, {', '.join(cols)} FROM pb"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{out}/embeddings.parquet/*.parquet'"
+    )
+    ddf = con.execute(sql).df().sort_values(key).reset_index(drop=True)
+    assert len(sdf) == len(ddf) and len(sdf) > 60  # multi-probe: > home
+    for c in key:
+        assert list(sdf[c]) == list(ddf[c]), f"probe-set column {c} diverges"
+
+
+def test_q228_trips_hub_guard(spark, tmp_path, monkeypatch):
+    """q228's refresh path is guarded too (round-13 ADVICE: only the
+    one-shot artifact build had the hub-block guard — the epoch-0 and
+    incremental candidate joins would grind quadratically on a
+    degenerate corpus instead of failing fast)."""
+    from tests.test_knn_index import _write_embeddings
+
+    from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY, vector6
+
+    out = str(tmp_path / "fix228g")
+    _write_embeddings(spark, out, 60)
+    monkeypatch.setattr(vector6, "_MP_MAX_BLOCK_EDGES", 1)
+    with pytest.raises(RuntimeError, match="max_block_edges"):
+        REGISTRY["q228_dbscan_grid_incremental"].fn(spark, out).collect()

@@ -38,6 +38,8 @@ from rds_glue_s3_etl_pipeline_spark.queries.vector6 import (  # noqa: E402
     _KNN_INC_MOD,
     _knn_assignments,
     _knn_index,
+    _MP_MAX_BLOCK_EDGES,
+    _mp_block_guard,
     _mp_eps_candidates,
     _mp_symmetrize,
 )
@@ -59,6 +61,9 @@ def main() -> None:
     home, probe, block_cols = _knn_assignments(
         spark, args.sf, _dbscan_nprobe(_knn_index(spark, args.sf)["ks"])
     )
+    # full-table guard upper-bounds every filtered sub-join below
+    # (round-13 ADVICE: the probe's joins had no hub-block guard)
+    _mp_block_guard(probe, home, block_cols, _MP_MAX_BLOCK_EDGES)
     ids = home.select("vec_id")
     is_new = F.col("vec_id") % _KNN_INC_MOD == 0
 

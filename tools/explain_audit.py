@@ -59,8 +59,68 @@ _NLJ_EXPECTED = {
     "q235_eps_percolation_guard",
 }
 
+# Shape-checked justifications for BNLJs whose bounded build side the
+# static engine (tools/plan_bound.py) cannot prove. Keyed by query
+# name, then by the build side's peeled shape signature — if a query's
+# plan changes shape, the annotation stops matching and the audit goes
+# red instead of silently staying green (round-14 verdict item #1:
+# hand lists must not rot silently). Each reason states WHY the build
+# side is a constant independent of data scale.
+_CODEBOOK = (
+    "trained codebook/centroid localCheckpoint — ≤ n_cells rows by "
+    "construction (operators/similarity.py trains k ≤ 256 centroids "
+    "from a bounded sample)"
+)
+_PQ_EXPLODE = (
+    "PQ codebook explode: m subspaces × 256 codes ≤ 4096 rows by "
+    "construction (operators/similarity.py PQ trainer)"
+)
+_NLJ_BOUNDED_JUSTIFIED: dict[str, dict[str, str]] = {
+    "q142_kmeans_ivf": {"Scan ExistingRDD[c_id,cv]": _CODEBOOK},
+    "q148_codebook_balance": {"Scan ExistingRDD[c_id,cv]": _CODEBOOK},
+    "q150_incremental_vector_dedup_ivf": {"Scan ExistingRDD[c_id,cv]": _CODEBOOK},
+    "q164_incremental_vector_dedup_adaptive": {
+        "Scan ExistingRDD[c_id,cv]": _CODEBOOK
+    },
+    "q165_vector_dedup_tree_probe": {"Scan ExistingRDD[c_id,cv]": _CODEBOOK},
+    "q166_vector_dedup_recall_gate": {"Scan ExistingRDD[c_id,cv]": _CODEBOOK},
+    "q183_cluster_balanced_sample": {"Scan ExistingRDD[c_id,cv]": _CODEBOOK},
+    "q146_pq_topk": {"Generate": _PQ_EXPLODE},
+    "q158_pq_recall": {
+        "Generate": _PQ_EXPLODE,
+        "Filter+Scan ExistingRDD[c_id,cv,m]": _CODEBOOK,
+    },
+    "q160_pq_trained_topk": {
+        "Filter+Scan ExistingRDD[c_id,cv,m]": _CODEBOOK
+    },
+    "q173_quality_calibration": {
+        "BroadcastHashJoin": (
+            "rank==k threshold pick: rn is a global row_number (unique "
+            "per row), equality with the scalar k = ceil(0.4·n) leaves "
+            "exactly 1 row (queries/planning.py q173)"
+        )
+    },
+    "q204_corpus_drift_tvd": {
+        "HashAggregate[event_type]": (
+            "event-type marginal: event_type is a fixed generator enum "
+            "(TESTDATA.md events schema) — a handful of rows at any SF"
+        )
+    },
+    "q222_label_centroid_matrix": {
+        "ObjectHashAggregate[label]": (
+            "per-label centroid rows: label domain is the trained "
+            "k-means codebook ids, ≤ 256 by construction"
+        )
+    },
+}
 
-def audit(plan: str, name: str = "") -> list[str]:
+
+def audit(plan: str, name: str = "") -> tuple[list[str], int]:
+    """Notes for one plan + the count of UNEXPECTED nested-loop joins
+    (anything neither statically bounded, nor shape-justified, nor a
+    documented quadratic anchor)."""
+    from plan_bound import classify_nljs
+
     notes = []
     pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
     if pushed:
@@ -70,24 +130,32 @@ def audit(plan: str, name: str = "") -> list[str]:
     notes.append(f"exchanges (shuffles): {plan.count('Exchange')}")
     if "TakeOrderedAndProject" in plan:
         notes.append("top-k planned as TakeOrderedAndProject (no full sort)")
-    n_nlj = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
-    if n_nlj and name in _NLJ_EXPECTED:
+    findings = classify_nljs(plan, _NLJ_BOUNDED_JUSTIFIED.get(name))
+    n_unexpected = 0
+    if findings and name in _NLJ_EXPECTED:
         notes.append(
-            f"nested-loop joins: {n_nlj} — EXPECTED (documented quadratic "
-            "anchor / sample-bounded exact arm; see SCALE.md)"
+            f"nested-loop joins: {len(findings)} — EXPECTED (documented "
+            "quadratic anchor / sample-bounded exact arm; see SCALE.md)"
         )
-    elif n_nlj:
-        notes.append(
-            f"nested-loop joins: {n_nlj} — **UNEXPECTED: not a documented "
-            "anchor — investigate before shipping**"
-        )
+    elif findings:
+        for f in findings:
+            if f.benign:
+                notes.append(
+                    f"nested-loop join ({f.kind} #{f.nid}): {f.note}"
+                )
+            else:
+                n_unexpected += 1
+                notes.append(
+                    f"nested-loop join ({f.kind} #{f.nid}): **UNEXPECTED — "
+                    f"{f.note} — investigate before shipping**"
+                )
     elif name in _NLJ_EXPECTED:
         notes.append(
             "nested-loop joins: 0 — NOTE: documented anchor whose NLJ is "
             "absent from this plan (edge list may be pre-materialized; "
             "verify the anchor still exercises its contract)"
         )
-    return notes
+    return notes, n_unexpected
 
 
 def main() -> None:
@@ -122,13 +190,17 @@ def main() -> None:
     ]
     names = all_queries()
     covered = 0
+    unexpected: dict[str, int] = {}
     for name in names:
         df = REGISTRY[name].fn(spark, args.sf)
         plan = plan_text(df)
         covered += 1
         out.append(f"## {name}")
         out.append("")
-        for n in audit(plan, name):
+        notes, n_unexpected = audit(plan, name)
+        if n_unexpected:
+            unexpected[name] = n_unexpected
+        for n in notes:
             out.append(f"- {n}")
         out.append("")
         out.append("```")
@@ -142,11 +214,28 @@ def main() -> None:
     out.insert(
         1,
         f"\nStructurally complete: {covered}/{len(REGISTRY)} registered "
-        "queries (asserted by tools/explain_audit.py).",
+        "queries (asserted by tools/explain_audit.py). "
+        f"UNEXPECTED nested-loop joins: {sum(unexpected.values())} "
+        f"in {len(unexpected)} queries"
+        + (
+            " — THE AUDIT FAILED (exit 1); every nested-loop join must be "
+            "statically bounded, shape-justified, or a documented anchor."
+            if unexpected
+            else " (the audit exits non-zero if this is ever > 0)."
+        ),
     )
     with open(args.out, "w") as f:
         f.write("\n".join(out))
     print(f"wrote {args.out}: {covered}/{len(REGISTRY)} plans")
+    if unexpected:
+        print(
+            "UNEXPECTED nested-loop joins (investigate before shipping):",
+            file=sys.stderr,
+        )
+        for qname, k in sorted(unexpected.items()):
+            print(f"  {qname}: {k}", file=sys.stderr)
+        sys.exit(1)
+    print("0 UNEXPECTED nested-loop joins")
 
 
 if __name__ == "__main__":
