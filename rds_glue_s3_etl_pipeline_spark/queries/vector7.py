@@ -577,6 +577,22 @@ _PERC_SAMPLE = 64
 # sf0.1 corpus at 1.08 is the measured near-critical case whose 75-
 # member chain component q233's docstring prices).
 _PERC_MEAN_DEGREE_MAX = 2.0
+# Round 14: mean degree alone CONFLATES density with percolation — the
+# clustered 10x corpus (64 mixture components of ~312 members, largest
+# eps-component 1.75% of the corpus, provably non-percolating) reads
+# est_mean_degree ~312 and the ER ceiling false-FAILs on exactly the
+# shape production data has. The discriminator is neighborhood
+# CLOSURE: in a clustered graph a neighbor's neighborhood is the same
+# cluster (new-vertex fraction ~0); in a percolating one it keeps
+# expanding (~1). So when the degree ceiling trips, a second sampled
+# hop decides: per sample vector, its first 8 eps-neighbors in md5
+# order are re-scored against the corpus, and expansion_frac =
+# |hop-2 hits outside N(q) + q itself| / |hop-2 hits|.
+# Dense-but-closed (expansion <= 0.2) passes as
+# 'ok dense clustered'; dense-and-open FAILs as before. Cost: one
+# extra (sample x hop2) x N linear pass — production-feasible.
+_PERC_HOP2_PER_Q = 8
+_PERC_EXPANSION_MAX = 0.2
 
 
 def _q235_oracle() -> str:
@@ -586,22 +602,60 @@ q AS (
   SELECT vec_id, v FROM e
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PERC_SAMPLE}
 ),
-deg AS (
-  SELECT q.vec_id,
-         SUM(CASE WHEN ROUND(list_cosine_similarity(q.v, c.v), 4)
-                       >= {_DBSCAN_EPS_COS} THEN 1 ELSE 0 END) AS d
+hits AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.v AS c_v
   FROM q JOIN e c ON c.vec_id <> q.vec_id
-  GROUP BY q.vec_id
+  WHERE ROUND(list_cosine_similarity(q.v, c.v), 4) >= {_DBSCAN_EPS_COS}
+),
+deg AS (
+  SELECT q.vec_id, COALESCE(h.d, 0) AS d
+  FROM q LEFT JOIN (
+    SELECT q_id, COUNT(*) AS d FROM hits GROUP BY q_id
+  ) h ON h.q_id = q.vec_id
+),
+probes AS (
+  SELECT q_id, c_id AS nbr_id, c_v AS nbr_v FROM (
+    SELECT q_id, c_id, c_v,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY md5(CAST(c_id AS VARCHAR)), c_id) AS rn
+    FROM hits
+  ) WHERE rn <= {_PERC_HOP2_PER_Q}
+),
+hop2 AS (
+  SELECT p.q_id, p.nbr_id, c.vec_id AS c_id
+  FROM probes p JOIN e c ON c.vec_id <> p.nbr_id
+  WHERE ROUND(list_cosine_similarity(p.nbr_v, c.v), 4) >= {_DBSCAN_EPS_COS}
+),
+hop2x AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hop2_edges,
+         CAST(SUM(CASE WHEN h2.c_id = h2.q_id THEN 0
+                       WHEN h1.c_id IS NOT NULL THEN 0
+                       ELSE 1 END) AS BIGINT) AS n_hop2_new
+  FROM hop2 h2 LEFT JOIN (SELECT DISTINCT q_id, c_id FROM hits) h1
+    ON h1.q_id = h2.q_id AND h1.c_id = h2.c_id
+),
+d_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+         CAST(SUM(d) AS BIGINT) AS n_sample_edges,
+         SUM(d) / CAST(COUNT(*) AS DOUBLE) AS est_mean_degree
+  FROM deg
 )
 SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
-       CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_sample,
+       d.n_sample,
        CAST({_DBSCAN_EPS_COS} AS DOUBLE) AS eps,
-       CAST(SUM(d) AS BIGINT) AS n_sample_edges,
-       SUM(d) / CAST(COUNT(*) AS DOUBLE) AS est_mean_degree,
-       CASE WHEN SUM(d) / CAST(COUNT(*) AS DOUBLE)
-                 <= {_PERC_MEAN_DEGREE_MAX}
-            THEN 'ok' ELSE 'FAIL percolating eps' END AS percolation_gate
-FROM deg
+       d.n_sample_edges,
+       d.est_mean_degree,
+       CAST((SELECT COUNT(*) FROM probes) AS BIGINT) AS n_hop2_probes,
+       h.n_hop2_edges,
+       COALESCE(h.n_hop2_new, 0) AS n_hop2_new,
+       COALESCE(h.n_hop2_new / CAST(NULLIF(h.n_hop2_edges, 0) AS DOUBLE), 0.0)
+         AS expansion_frac,
+       CASE WHEN d.est_mean_degree <= {_PERC_MEAN_DEGREE_MAX} THEN 'ok'
+            WHEN COALESCE(h.n_hop2_new
+                          / CAST(NULLIF(h.n_hop2_edges, 0) AS DOUBLE), 0.0)
+                 <= {_PERC_EXPANSION_MAX} THEN 'ok dense clustered'
+            ELSE 'FAIL percolating eps' END AS percolation_gate
+FROM d_agg d, hop2x h
 """
 
 
@@ -610,22 +664,33 @@ def q235_eps_percolation_guard(spark, sf_dir):
     """Percolation pre-flight for the DBSCAN/split family's operating
     eps: estimate the TRUE mean eps-degree (unblocked — every corpus
     vector counts, not just same-block ones) from a deterministic
-    {_PERC_SAMPLE}-vector sample, and gate it against the
+    {_PERC_SAMPLE}-vector sample, gated in two tiers. Tier 1 is the
     giant-component heuristic (mean degree ~1; ceiling
-    {_PERC_MEAN_DEGREE_MAX} with margin). Run BEFORE trusting
-    q223/q224/q228's clusters or splits on a new corpus: a breach
-    means the eps sits in (or near) the percolating regime round 11
-    measured at 0.3, where blocked DBSCAN degenerates to a
-    within-block density summary and no cluster-hashed split can be
-    leak-free.
+    {_PERC_MEAN_DEGREE_MAX} with margin). Tier 2 (round 14): mean
+    degree alone conflates DENSITY with percolation — a genuinely
+    clustered corpus (the mixture-of-Gaussians 10x corpus reads mean
+    degree ~312 while its largest eps-component is 1.75% of the
+    corpus) must NOT fail the pre-flight. The discriminator is
+    neighborhood closure: each sample vector's first
+    {_PERC_HOP2_PER_Q} eps-neighbors (md5 order) are re-scored
+    against the corpus, and expansion_frac = fraction of their hop-2
+    hits that fall OUTSIDE the sample vector's own neighborhood.
+    Clustered graphs close (~0, 'ok dense clustered'); percolating
+    ones expand (~1, FAIL). Run BEFORE trusting q223/q224/q228's
+    clusters or splits on a new corpus: a breach means the eps sits
+    in (or near) the percolating regime round 11 measured at 0.3,
+    where blocked DBSCAN degenerates to a within-block density
+    summary and no cluster-hashed split can be leak-free.
 
-    Scale: one broadcast of the {_PERC_SAMPLE}-row sample against the
-    corpus — sample x N scored rows, LINEAR, no shuffle until the
-    {_PERC_SAMPLE}-group degree aggregate. The estimator is
-    production-feasible at 100 TB where the exact edge count (q232's
-    all-pairs arm) is fixture-protocol only. est_mean_degree divides
-    an exact integer edge sum by the power-of-two sample size, so the
-    double matches DuckDB bit-for-bit."""
+    Scale: the hop-1 pass broadcasts the {_PERC_SAMPLE}-row sample
+    against the corpus — sample x N scored rows, LINEAR; hop 2 adds
+    (sample x {_PERC_HOP2_PER_Q}) x N more, still linear, shuffles
+    only per-sample aggregates. The estimator is production-feasible
+    at 100 TB where the exact edge count (q232's all-pairs arm) is
+    fixture-protocol only. est_mean_degree and expansion_frac divide
+    exact integer counts, so the doubles match DuckDB bit-for-bit."""
+    from pyspark.sql import Window
+
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qs = (
         e.orderBy(
@@ -634,35 +699,97 @@ def q235_eps_percolation_guard(spark, sf_dir):
         .limit(_PERC_SAMPLE)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_v"))
     )
-    deg = (
+    # hop-1 eps hit set of every sample vector — materialized once
+    # (sample x N scored rows, linear) and shared by the degree
+    # estimate, the probe pick and the hop-2 closure check.
+    hits = (
         e.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+        .filter(
+            F.round(V.cosine(F.col("q_v"), F.col("embedding")), 4)
+            >= _DBSCAN_EPS_COS
+        )
         .select(
             "q_id",
-            (
-                F.round(V.cosine(F.col("q_v"), F.col("embedding")), 4)
-                >= _DBSCAN_EPS_COS
-            )
-            .cast("long")
-            .alias("hit"),
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_v"),
         )
-        .groupBy("q_id")
-        .agg(F.sum("hit").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    deg = qs.join(
+        hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("d")), "q_id", "left"
+    ).select("q_id", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+    # hop-2: the first _PERC_HOP2_PER_Q eps-neighbors of each sample
+    # vector (md5 order — seedless, engine-agnostic) re-scored against
+    # the corpus; a hit is NEW if it is neither the sample vector nor
+    # already in its hop-1 neighborhood. Clustered graphs close
+    # (new ~ 0); percolating ones expand (new ~ 1).
+    w_pick = Window.partitionBy("q_id").orderBy(
+        F.md5(F.col("c_id").cast("string").cast("binary")), F.col("c_id")
+    )
+    probes = (
+        hits.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") <= _PERC_HOP2_PER_Q)
+        .select("q_id", F.col("c_id").alias("nbr_id"), F.col("c_v").alias("nbr_v"))
+    )
+    hop2 = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("nbr_id"))
+        .filter(
+            F.round(V.cosine(F.col("nbr_v"), F.col("embedding")), 4)
+            >= _DBSCAN_EPS_COS
+        )
+        .select("q_id", "nbr_id", F.col("vec_id").alias("c_id"))
+    )
+    hop2x = (
+        hop2.join(
+            hits.select("q_id", "c_id").distinct().withColumn(
+                "seen", F.lit(1)
+            ),
+            ["q_id", "c_id"],
+            "left",
+        )
+        .select(
+            F.when(F.col("c_id") == F.col("q_id"), F.lit(0))
+            .when(F.col("seen").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("is_new")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hop2_edges"),
+            F.coalesce(F.sum("is_new").cast("long"), F.lit(0).cast("long")).alias(
+                "n_hop2_new"
+            ),
+        )
     )
     n = e.agg(F.count(F.lit(1)).alias("n_vectors"))
+    n_probes = probes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hop2_probes")
+    )
     est = F.col("n_sample_edges") / F.col("n_sample").cast("double")
+    expansion = F.coalesce(
+        F.col("n_hop2_new")
+        / F.nullif(F.col("n_hop2_edges"), F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
     return (
         deg.agg(
             F.count(F.lit(1)).alias("n_sample"),
             F.sum("d").alias("n_sample_edges"),
         )
         .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(hop2x))
         .select(
             F.col("n_vectors").cast("long").alias("n_vectors"),
             F.col("n_sample").cast("long").alias("n_sample"),
             F.lit(float(_DBSCAN_EPS_COS)).alias("eps"),
             F.col("n_sample_edges").cast("long").alias("n_sample_edges"),
             est.alias("est_mean_degree"),
+            F.col("n_hop2_probes"),
+            F.col("n_hop2_edges"),
+            F.col("n_hop2_new"),
+            expansion.alias("expansion_frac"),
             F.when(est <= _PERC_MEAN_DEGREE_MAX, F.lit("ok"))
+            .when(expansion <= _PERC_EXPANSION_MAX, F.lit("ok dense clustered"))
             .otherwise(F.lit("FAIL percolating eps"))
             .alias("percolation_gate"),
         )
