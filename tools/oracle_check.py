@@ -24,8 +24,21 @@ from rds_glue_s3_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
+    import tempfile
 
     con = duckdb.connect()
+    # The in-memory default can't spill and sizes its memory_limit off
+    # total RAM at connect time — but during a sweep the Spark JVM holds
+    # most of the machine, so multi-CTE twins (q167/q169 at 10x: three
+    # MATERIALIZED Lloyd chains in one statement) hit a hard OOM. A
+    # bounded limit plus a temp_directory turns that into a disk spill.
+    con.execute(
+        "SET memory_limit='%s'"
+        % os.environ.get("DUCK_ORACLE_MEMLIMIT", "24GB")
+    )
+    spill = os.path.join(tempfile.gettempdir(), "duck_oracle_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         # single file (driver testdata) or Spark-written part-file
         # directory (the 10x scale corpus)
