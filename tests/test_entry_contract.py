@@ -97,3 +97,28 @@ def test_sql_surface_matches_dataframe_api(spark):
     assert len(got) == len(want)
     for r in got:
         assert abs(r["sum_qty"] - want[(r["l_returnflag"], r["l_linestatus"])]) < 1e-6
+
+
+def test_duck_connect_spill_config(tmp_path, monkeypatch):
+    """duck_connect must bound DuckDB's memory and give it a spill
+    directory: during a sweep the Spark JVM holds most of the machine,
+    and the in-memory default OOMs on multi-CTE twins (q169 at 10x
+    needed 8 GB of spill — round 14). The limit is env-tunable for the
+    q167-class twins that need more pinned memory."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from oracle_check import duck_connect
+
+    monkeypatch.setenv("DUCK_ORACLE_MEMLIMIT", "2GB")
+    con = duck_connect("/root/testdata/sf0.001")
+    mem = con.execute(
+        "SELECT value FROM duckdb_settings() WHERE name='memory_limit'"
+    ).fetchone()[0]
+    tmp = con.execute(
+        "SELECT value FROM duckdb_settings() WHERE name='temp_directory'"
+    ).fetchone()[0]
+    assert mem in ("2.0 GiB", "1.8 GiB", "2GB")  # formatting varies by version
+    assert tmp and "duck_oracle_spill" in tmp
+    # and the views still resolve
+    assert con.execute("SELECT COUNT(*) FROM region").fetchone()[0] == 5
