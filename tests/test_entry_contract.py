@@ -4,6 +4,8 @@ registered query runs, and a sample of oracle pairs hash-match DuckDB
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pytest
 
@@ -105,9 +107,9 @@ def test_duck_connect_spill_config(tmp_path, monkeypatch):
     and the in-memory default OOMs on multi-CTE twins (q169 at 10x
     needed 8 GB of spill — round 14). The limit is env-tunable for the
     q167-class twins that need more pinned memory."""
-    import sys
+    from pathlib import Path
 
-    sys.path.insert(0, "tools")
+    monkeypatch.syspath_prepend(str(Path(__file__).parents[1] / "tools"))
     from oracle_check import duck_connect
 
     monkeypatch.setenv("DUCK_ORACLE_MEMLIMIT", "2GB")
@@ -118,7 +120,50 @@ def test_duck_connect_spill_config(tmp_path, monkeypatch):
     tmp = con.execute(
         "SELECT value FROM duckdb_settings() WHERE name='temp_directory'"
     ).fetchone()[0]
-    assert mem in ("2.0 GiB", "1.8 GiB", "2GB")  # formatting varies by version
+    # parse the rendered size numerically — display formatting varies
+    # by DuckDB version ('2.0 GiB' vs '1.8 GiB' vs '2GB')
+    num, unit = re.match(r"^([\d.]+)\s*([A-Za-z]+)$", mem).groups()
+    mult = {"B": 1, "KB": 1e3, "MB": 1e6, "GB": 1e9, "TB": 1e12,
+            "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}[unit]
+    nbytes = float(num) * mult
+    assert 1.6e9 <= nbytes <= 2.1e9, mem
     assert tmp and "duck_oracle_spill" in tmp
     # and the views still resolve
     assert con.execute("SELECT COUNT(*) FROM region").fetchone()[0] == 5
+
+
+def test_duck_connect_rejects_malformed_memlimit(monkeypatch):
+    """A quote or garbage in DUCK_ORACLE_MEMLIMIT must fail with a
+    clear ValueError at connect time, not a confusing SQL error from
+    the interpolated SET statement."""
+    from pathlib import Path
+
+    monkeypatch.syspath_prepend(str(Path(__file__).parents[1] / "tools"))
+    from oracle_check import duck_connect
+
+    monkeypatch.setenv("DUCK_ORACLE_MEMLIMIT", "24'GB; DROP TABLE x")
+    with pytest.raises(ValueError, match="DUCK_ORACLE_MEMLIMIT"):
+        duck_connect("/root/testdata/sf0.001")
+
+
+def test_duck_connect_default_caps_at_ram(monkeypatch):
+    """The default memory_limit must never exceed ~80% of physical
+    RAM (ADVICE r14): on a small host the old unconditional 24GB
+    default RAISED DuckDB's limit above physical memory."""
+    import os
+    from pathlib import Path
+
+    monkeypatch.syspath_prepend(str(Path(__file__).parents[1] / "tools"))
+    import oracle_check
+
+    monkeypatch.delenv("DUCK_ORACLE_MEMLIMIT", raising=False)
+    mem = oracle_check._default_memlimit()
+    num = float(re.match(r"^([\d.]+)", mem).group(1))
+    nbytes = num * (1e9 if "GB" in mem else 1e6)
+    try:
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError):
+        ram = None
+    assert nbytes <= 24_000_000_001
+    if ram is not None:
+        assert nbytes <= ram * 0.8 + 1e6

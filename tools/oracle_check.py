@@ -22,8 +22,26 @@ from rds_glue_s3_etl_pipeline_spark.queries import REGISTRY  # noqa: E402
 from rds_glue_s3_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 
+_SIZE_RE = r"^\d+(\.\d+)?\s*(B|KB|MB|GB|TB|KiB|MiB|GiB|TiB)$"
+
+
+def _default_memlimit() -> str:
+    """min(24GB, ~80% of physical RAM): 24GB pins enough for the
+    multi-CTE 10x twins on the build host, but unconditionally RAISING
+    DuckDB's limit above physical memory on a smaller machine would
+    make OOM more likely than the 80%-of-RAM default it replaces."""
+    import os
+
+    try:
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError):
+        return "24GB"
+    return f"{min(24_000_000_000, int(ram * 0.8)) // 1_000_000}MB"
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
+    import re
     import tempfile
 
     con = duckdb.connect()
@@ -32,12 +50,16 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # most of the machine, so multi-CTE twins (q167/q169 at 10x: three
     # MATERIALIZED Lloyd chains in one statement) hit a hard OOM. A
     # bounded limit plus a temp_directory turns that into a disk spill.
-    con.execute(
-        "SET memory_limit='%s'"
-        % os.environ.get("DUCK_ORACLE_MEMLIMIT", "24GB")
-    )
-    spill = os.path.join(tempfile.gettempdir(), "duck_oracle_spill")
-    os.makedirs(spill, exist_ok=True)
+    mem = os.environ.get("DUCK_ORACLE_MEMLIMIT", _default_memlimit())
+    if not re.match(_SIZE_RE, mem):
+        raise ValueError(
+            f"DUCK_ORACLE_MEMLIMIT={mem!r} is not a size literal "
+            "(expected e.g. '24GB', '1.5GiB')"
+        )
+    con.execute(f"SET memory_limit='{mem}'")
+    # mkdtemp per connection: a fixed shared path can be squatted on a
+    # multi-user machine and concurrent sweeps would share one spill.
+    spill = tempfile.mkdtemp(prefix="duck_oracle_spill_")
     con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         # single file (driver testdata) or Spark-written part-file
