@@ -279,22 +279,17 @@ def dbscan_oracle_tail(min_nbrs: int, ids_table: str = "embeddings") -> str:
     — the shared SQL skeleton of the q219/q223 oracles (and any gate
     composing both). The caller's WITH must open RECURSIVE (for
     ``reach``)."""
+    from .graph import cc_oracle_ctes
+
     return f"""
 deg AS (SELECT a AS vec_id, COUNT(*) AS d FROM sym GROUP BY a),
 core AS (SELECT vec_id FROM deg WHERE d >= {min_nbrs}),
-csym AS (
+csym AS MATERIALIZED (
   SELECT s.a, s.b FROM sym s
   JOIN core ca ON s.a = ca.vec_id
   JOIN core cb ON s.b = cb.vec_id
 ),
-reach(a, b) AS (
-  SELECT a, b FROM csym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN csym s ON r.b = s.a
-),
-ccl AS (
-  SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
-),
+{cc_oracle_ctes("csym", "ccl", "vec_id")},
 corecl AS (
   SELECT c.vec_id, COALESCE(ccl.cluster_id, c.vec_id) AS cluster_id
   FROM core c LEFT JOIN ccl ON c.vec_id = ccl.vec_id

@@ -304,3 +304,44 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     e_deg.unpersist()
     return ranks
+
+
+def cc_oracle_ctes(edges: str = "sym", out: str = "cl", node: str = "vec_id") -> str:
+    """DuckDB CTE twin of :func:`connected_components_star`: splice
+    after a comma inside a ``WITH RECURSIVE`` block where ``edges``
+    names a SYMMETRIC edge CTE with columns (a, b), and the result CTE
+    ``out`` holds (``node``, cluster_id) — cluster_id = the component's
+    minimum node id, for every node that appears in ``edges``. Exact
+    for arbitrary graphs.
+
+    Why not the naive transitive closure (``reach`` = edges UNION
+    reach JOIN edges)? Its per-iteration join derives O(m³) rows for a
+    component of size m before the UNION dedups them, and semantic-dup
+    groups are near-CLIQUES (every member pairwise-similar): at 10x
+    scale the q143 cell graph is ~64 components of ~300 members, so
+    the closure manufactures ~1.9e9 rows per iteration — the round-14
+    q167 twin OOM. One min-label contraction round (every node adopts
+    min(self, neighbors) — the star-contraction hook step) collapses
+    each near-clique to ~1 label; the naive closure then runs on the
+    CONTRACTED graph (114 edges at 10x where the input has 5.7M).
+    MATERIALIZED hints pin the shared frames so multi-reference CTEs
+    are computed once instead of re-derived under the recursion."""
+    return f"""{out}_l1 AS MATERIALIZED (
+  SELECT a AS v, LEAST(a, MIN(b)) AS l FROM {edges} GROUP BY a
+),
+{out}_re AS MATERIALIZED (
+  SELECT DISTINCT la.l AS a, lb.l AS b
+  FROM {edges} s JOIN {out}_l1 la ON s.a = la.v JOIN {out}_l1 lb ON s.b = lb.v
+  WHERE la.l <> lb.l
+),
+{out}_rs AS (SELECT a, b FROM {out}_re UNION SELECT b, a FROM {out}_re),
+{out}_reach(a, b) AS (
+  SELECT a, b FROM {out}_rs
+  UNION
+  SELECT r.a, s.b FROM {out}_reach r JOIN {out}_rs s ON r.b = s.a
+),
+{out}_rcl AS (SELECT a, LEAST(MIN(b), a) AS root FROM {out}_reach GROUP BY a),
+{out} AS (
+  SELECT {out}_l1.v AS {node}, COALESCE(r.root, {out}_l1.l) AS cluster_id
+  FROM {out}_l1 LEFT JOIN {out}_rcl r ON {out}_l1.l = r.a
+)"""

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import os
 
+from ..operators.graph import cc_oracle_ctes
+
 _COS = "list_cosine_similarity"
 
 
@@ -353,12 +355,7 @@ sym AS MATERIALIZED (
   UNION
   SELECT vb, va FROM pairs
 ),
-reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-),
-cl AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
+{cc_oracle_ctes("sym", "cl", "vec_id")},
 members AS (
   SELECT cl.cluster_id, cl.vec_id, f.cos_sim AS cent_cos
   FROM cl JOIN lvl0 f ON f.vec_id = cl.vec_id

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import vector as V
-from ..operators.graph import connected_components_star
+from ..operators.graph import cc_oracle_ctes, connected_components_star
 from ..operators.similarity import spherical_kmeans
 from .registry import query
 
@@ -138,24 +138,19 @@ _SEM_THRESHOLD = 0.3
 _Q143_ORACLE = f"""
 WITH RECURSIVE {_km_ctes(_KM_K, _KM_ITERS)},
 fin AS (SELECT * FROM assign{_KM_ITERS}),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.vec_id AS va, b.vec_id AS vb
   FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
   JOIN e ea ON ea.vec_id = a.vec_id
   JOIN e eb ON eb.vec_id = b.vec_id
   WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= {_SEM_THRESHOLD}
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT va AS a, vb AS b FROM pairs
   UNION
   SELECT vb, va FROM pairs
 ),
-reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-),
-cl AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
+{cc_oracle_ctes("sym", "cl", "vec_id")},
 members AS (
   SELECT cl.cluster_id, cl.vec_id, f.cos_sim AS cent_cos
   FROM cl JOIN fin f ON f.vec_id = cl.vec_id
@@ -743,7 +738,7 @@ sa AS (
     FROM fin f JOIN sub s ON s.c_id = f.c_id
   ) WHERE rn = 1
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.vec_id AS va, b.vec_id AS vb
   FROM sa a JOIN sa b
     ON a.c_id = b.c_id AND a.s_id = b.s_id AND a.vec_id < b.vec_id
@@ -751,17 +746,12 @@ pairs AS (
   JOIN e eb ON eb.vec_id = b.vec_id
   WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= {_SEM_THRESHOLD}
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT va AS a, vb AS b FROM pairs
   UNION
   SELECT vb, va FROM pairs
 ),
-reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-),
-cl AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
+{cc_oracle_ctes("sym", "cl", "vec_id")},
 members AS (
   SELECT cl.cluster_id, cl.vec_id, f.cos_sim AS cent_cos
   FROM cl JOIN fin f ON f.vec_id = cl.vec_id

@@ -1247,6 +1247,7 @@ def q223_dbscan_grid(spark, sf_dir):
 
 
 def _q224_sql(sym_ctes: str) -> str:
+    from ..operators.graph import cc_oracle_ctes
     from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
 
     split = f"""CASE WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '{_LEAK_TRAIN_HI}' THEN 'train'
@@ -1254,14 +1255,7 @@ def _q224_sql(sym_ctes: str) -> str:
             ELSE 'test' END"""
     return f"""
 WITH RECURSIVE {sym_ctes},
-reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-),
-cl AS (
-  SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
-),
+{cc_oracle_ctes("sym", "cl", "vec_id")},
 assigned AS (
   SELECT e2.vec_id, COALESCE(cl.cluster_id, e2.vec_id) AS cluster_id
   FROM embeddings e2 LEFT JOIN cl ON e2.vec_id = cl.vec_id

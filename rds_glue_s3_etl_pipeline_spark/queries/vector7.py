@@ -361,6 +361,7 @@ _TRUE_LEAK_MAX_LABEL = 0.7
 
 
 def _q234_sql(gsp_sym_ctes: str) -> str:
+    from ..operators.graph import cc_oracle_ctes
     from .planning import _LEAK_TRAIN_HI, _LEAK_VAL_HI
     from .vector import _Q34_ORACLE
 
@@ -373,17 +374,12 @@ lsp AS (
   WITH RECURSIVE pairs AS (
     SELECT vec_a, vec_b FROM ({_Q34_ORACLE})
   ),
-  lsym AS (
+  lsym AS MATERIALIZED (
     SELECT vec_a AS a, vec_b AS b FROM pairs
     UNION
     SELECT vec_b, vec_a FROM pairs
   ),
-  reach(a, b) AS (
-    SELECT a, b FROM lsym
-    UNION
-    SELECT r.a, s.b FROM reach r JOIN lsym s ON r.b = s.a
-  ),
-  cl AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
+  {cc_oracle_ctes("lsym", "cl", "vec_id")},
   assigned AS (
     SELECT e2.vec_id, COALESCE(cl.cluster_id, e2.vec_id) AS cluster_id
     FROM embeddings e2 LEFT JOIN cl ON e2.vec_id = cl.vec_id
@@ -392,12 +388,7 @@ lsp AS (
 ),
 gsp AS (
   WITH RECURSIVE {gsp_sym_ctes},
-  reach(a, b) AS (
-    SELECT a, b FROM gsym
-    UNION
-    SELECT r.a, s.b FROM reach r JOIN gsym s ON r.b = s.a
-  ),
-  cl AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a),
+  {cc_oracle_ctes("gsym", "cl", "vec_id")},
   assigned AS (
     SELECT e2.vec_id, COALESCE(cl.cluster_id, e2.vec_id) AS cluster_id
     FROM embeddings e2 LEFT JOIN cl ON e2.vec_id = cl.vec_id
