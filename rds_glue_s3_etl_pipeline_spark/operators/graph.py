@@ -51,13 +51,20 @@ def connected_components(
         .repartition("b")
         .persist()
     )
-    sym.count()  # materialize before iterating
+    # No materializing count() here: the first signature probe below
+    # fills the cache as part of its own job (one fewer driver action;
+    # the persist still pins the shuffled edge list for every round).
 
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
+        # eager=False: the signature probe right after is the action
+        # that materializes the checkpoint, so each round costs ONE
+        # driver round-trip instead of two (checkpoint job + probe
+        # job). Blocks persist on first computation exactly as with
+        # eager=True; every later consumer reads them.
+        .localCheckpoint(eager=False)
     )
 
     def _label_sig(df: DataFrame):
@@ -86,7 +93,8 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # Materialized by the signature probe below (see init).
+            .localCheckpoint(eager=False)
         )
         new_sig = _label_sig(labels)
         if new_sig == sig:
@@ -142,7 +150,11 @@ def connected_components_star(
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # eager=False: the signature probe right after materializes the
+        # checkpoint — one driver round-trip per round instead of two
+        # (same blocks, same lineage truncation; see
+        # connected_components).
+        .localCheckpoint(eager=False)
     )
 
     def _sig(df: DataFrame) -> tuple:
@@ -188,7 +200,8 @@ def connected_components_star(
             .filter(F.col("u") != F.col("m"))
             .select("u", F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # Materialized by the signature probe below (see init).
+            .localCheckpoint(eager=False)
         )
         new_sig = _sig(e)
         if new_sig == sig:
@@ -254,12 +267,15 @@ def pagerank(
     # single materialization of the operator; everything node-shaped
     # (nodes, N, degrees) derives from it for free.
     e_deg = e.join(deg, "src").repartition("src").persist()
-    e_deg.count()  # materialize the cache before iterating
+    # No materializing count(): CacheManager substitutes the persisted
+    # plan by canonical-plan match at analysis time, so the cache fills
+    # inside the first real job instead of a dedicated one.
     nodes = e_deg.select(F.col("src").alias("node")).distinct()
-    # One row; checkpointed so the teleport term in every iteration
+    # One row; checkpointed (plan truncated immediately, computed by
+    # the first consuming job) so the teleport term in every iteration
     # reads a constant instead of re-counting distinct nodes.
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).localCheckpoint(
-        eager=True
+        eager=False
     )
     teleport = 1.0 - damping  # IEEE double, bit-identical to the SQL twin
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
