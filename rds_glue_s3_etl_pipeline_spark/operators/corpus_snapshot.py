@@ -87,17 +87,19 @@ def read_snapshot_assigned(
     shuffle — q159/q161's plan is unchanged by delta support."""
     df = spark.read.parquet(snapshot_dir)
     cand = df if before_epoch is None else df.filter(F.col("__epoch") < before_epoch)
-    latest = cand.select(F.max("__epoch").alias("m")).first()["m"]
+    # One probe job for both epoch watermarks (latest overall + latest
+    # FULL): the refresh/read paths call this per epoch fold, and at
+    # bench scale every extra driver action costs more than the scan.
+    probe = cand.select(
+        F.max("__epoch").alias("m"),
+        F.max(F.when(F.col("__kind") == "full", F.col("__epoch"))).alias("f"),
+    ).first()
+    latest, base_full = probe["m"], probe["f"]
     if latest is None:
         raise ValueError(
             f"no snapshot epoch in {snapshot_dir}"
             + ("" if before_epoch is None else f" before epoch {before_epoch}")
         )
-    base_full = (
-        cand.filter(F.col("__kind") == "full")
-        .select(F.max("__epoch").alias("m"))
-        .first()["m"]
-    )
     if base_full is None:
         raise ValueError(
             f"no FULL epoch at or before {latest} in {snapshot_dir}; a delta "
@@ -268,8 +270,11 @@ def refresh_snapshot(
     # truly have no new edges.
     # Materialize the incident edges once — they feed both the seed
     # derivation and the CC union, and recomputing the verify join
-    # twice would double the fold's dominant stage.
-    inc = new_incident_edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # twice would double the fold's dominant stage. eager=False: the
+    # broadcast-gate count below is the first action and materializes
+    # the checkpoint (one driver round-trip instead of three for the
+    # inc/affected/gate chain).
+    inc = new_incident_edges.select("doc_a", "doc_b").localCheckpoint(eager=False)
     seed_ids = (
         inc.select(F.col("doc_a").alias("doc_id"))
         .union(inc.select(F.col("doc_b").alias("doc_id")))
@@ -282,7 +287,7 @@ def refresh_snapshot(
         hist.join(seed_ids, "doc_id", "left_semi")
         .select("cluster_id")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the gate count
     )
     touched = hist.join(affected, "cluster_id", "left_semi")
     untouched = hist.join(affected, "cluster_id", "left_anti")

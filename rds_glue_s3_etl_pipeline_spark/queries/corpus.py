@@ -40,7 +40,11 @@ def _hashed_shingles(spark, sf_dir):
         X.exploded_word_shingles(d, "text", "doc_id", _SHINGLE_N)
         .select("doc_id", F.xxhash64("sh").alias("h"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # eager=False: the signature build right after (_signatures,
+        # eager) is the first consumer and materializes this checkpoint
+        # in the same job — one driver action for the sh+sig store
+        # instead of two. Later consumers read the persisted blocks.
+        .localCheckpoint(eager=False)
     )
 
 

@@ -197,8 +197,27 @@ def _survivor_groups(fin, pairs):
     )
 
 
+def _coarse_fin(spark, sf_dir):
+    """The full-corpus trained coarse assignment shared by q143 and
+    q149 (and computed ONCE by q167, whose exact_1level and
+    fixed_2level branches are defined over the identical training):
+    spherical k-means from the seedless init, with each vector's norm
+    precomputed for the pair cosine, checkpointed because the pair
+    self-join consumes it twice and the survivor pick a third time."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS)
+        # Precompute each vector's norm ONCE: the pair cosine below is
+        # then a single dot-product fold per pair instead of three
+        # (dot + both norms) — same doubles, same operation order, so
+        # bit-identical to V.cosine.
+        .withColumn("nrm", V.norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
+    )
+
+
 @query("q143_semantic_dedup", oracle=_Q143_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
-def q143_semantic_dedup(spark, sf_dir):
+def q143_semantic_dedup(spark, sf_dir, *, fin=None):
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs are
     proposed ONLY within a k-means cell (the learned blocking — never
     an all-pairs join), clustered by star contraction, and one survivor
@@ -213,19 +232,12 @@ def q143_semantic_dedup(spark, sf_dir):
     contraction rounds are diameter-independent; the survivor pick
     windows over by-construction-small groups.
     """
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # Materialize the assignment once: it feeds the pair self-join
     # (twice) AND the survivor pick — without this the whole iterative
-    # k-means plan re-executes per consumer.
-    fin = (
-        spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS)
-        # Precompute each vector's norm ONCE: the pair cosine below is
-        # then a single dot-product fold per pair instead of three
-        # (dot + both norms) — same doubles, same operation order, so
-        # bit-identical to V.cosine.
-        .withColumn("nrm", V.norm(F.col("embedding")))
-        .localCheckpoint(eager=True)
-    )
+    # k-means plan re-executes per consumer. q167 passes the shared
+    # ``fin`` so its exact_1level / fixed_2level branches train once.
+    if fin is None:
+        fin = _coarse_fin(spark, sf_dir)
     a = fin.select("vec_id", "c_id", "embedding", "nrm").alias("a")
     b = fin.select("vec_id", "c_id", "embedding", "nrm").alias("b")
     cos = F.round(
@@ -768,7 +780,7 @@ WHERE m.rn = 1
 
 
 @query("q149_semantic_dedup_2level", oracle=_Q149_ORACLE, tags=("vector", "dedup", "graph", "EXT"))
-def q149_semantic_dedup_2level(spark, sf_dir):
+def q149_semantic_dedup_2level(spark, sf_dir, *, fin=None):
     """SemDeDup with a HIERARCHICAL codebook — q143's scale variant
     (the q108-to-q60 relationship): after the trained coarse
     assignment, each cell gets a {_SUB_K}-entry sub-codebook (its
@@ -785,12 +797,8 @@ def q149_semantic_dedup_2level(spark, sf_dir):
     assignment cost. Finer blocking can only LOWER pair recall —
     survivors per group and the keep-the-outlier policy are unchanged.
     """
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    fin = (
-        spherical_kmeans(e, _init_centroids(e), iters=_KM_ITERS)
-        .withColumn("nrm", V.norm(F.col("embedding")))
-        .localCheckpoint(eager=True)
-    )
+    if fin is None:
+        fin = _coarse_fin(spark, sf_dir)
     w_sub = Window.partitionBy("c_id").orderBy(
         F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
     )

@@ -650,7 +650,8 @@ def q167_semantic_dedup_grid_gate(spark, sf_dir):
     adaptive row diverges (deeper grid, measured in SCALE.md); the
     gate is how a corpus build decides whether the recall trade at its
     scale is acceptable before pruning."""
-    from .vector3 import q143_semantic_dedup, q149_semantic_dedup_2level
+    from ..operators.par import run_concurrently
+    from .vector3 import _coarse_fin, q143_semantic_dedup, q149_semantic_dedup_2level
 
     def stats(df, variant):
         return df.agg(
@@ -661,12 +662,23 @@ def q167_semantic_dedup_grid_gate(spark, sf_dir):
             F.lit(variant).alias("variant"), "n_groups", "n_dup_docs", "max_group"
         )
 
+    # exact_1level and fixed_2level are DEFINED over the identical
+    # full-corpus trained assignment — train it ONCE and hand it to
+    # both branches (standalone q143/q149 still train their own); the
+    # three branches then run their pair joins + component
+    # contractions on driver threads so their internal actions overlap
+    # (operators/par.py, guide §2.6). Branch results are the same
+    # frames as before; only their evaluation overlaps.
+    fin = _coarse_fin(spark, sf_dir)
+    ad, ex, f2 = run_concurrently(
+        lambda: q163_semantic_dedup_adaptive(spark, sf_dir),
+        lambda: q143_semantic_dedup(spark, sf_dir, fin=fin),
+        lambda: q149_semantic_dedup_2level(spark, sf_dir, fin=fin),
+    )
     return (
-        stats(q163_semantic_dedup_adaptive(spark, sf_dir), "adaptive")
-        .unionByName(stats(q143_semantic_dedup(spark, sf_dir), "exact_1level"))
-        .unionByName(
-            stats(q149_semantic_dedup_2level(spark, sf_dir), "fixed_2level")
-        )
+        stats(ad, "adaptive")
+        .unionByName(stats(ex, "exact_1level"))
+        .unionByName(stats(f2, "fixed_2level"))
     )
 
 

@@ -82,8 +82,23 @@ _KNN_TARGET_BLOCK = 32
 # real pipeline builds that index once and queries it many times.
 _KNN_INDEX_CACHE: dict[tuple, dict] = {}
 
+# Gate queries evaluate their branches on driver threads
+# (operators/par.py); two branches asking for the same not-yet-built
+# index must not both build it.
+import threading as _threading
+
+# RLock: _mp_eps_edges holds it across its edge build, which calls
+# back into _knn_index on the same thread.
+_KNN_INDEX_LOCK = _threading.RLock()
+
 
 def _knn_index(spark, sf_dir) -> dict:
+    """Thread-safe front of :func:`_knn_index_build` — see its doc."""
+    with _KNN_INDEX_LOCK:
+        return _knn_index_build(spark, sf_dir)
+
+
+def _knn_index_build(spark, sf_dir) -> dict:
     """Build-once adaptive-grid index artifact, fingerprint-cached per
     (process, embeddings content): ``home.parquet`` is the full home
     assignment (vec_id, embedding, nrm, *block_cols — one row per
@@ -1173,11 +1188,14 @@ def _mp_eps_edges(spark, sf_dir, nprobe: int | None = None):
     if nprobe is None:
         nprobe = _dbscan_nprobe(meta["ks"])
     path = f"{meta['dir']}/eps_edges_p{nprobe}_e{int(round(_DBSCAN_EPS_COS * 100))}.parquet"
-    if not os.path.isdir(path):
-        home, probe, block_cols = _knn_assignments(spark, sf_dir, nprobe)
-        _mp_block_guard(probe, home, block_cols, _MP_MAX_BLOCK_EDGES)
-        sym = _mp_symmetrize(_mp_eps_candidates(probe, home, block_cols))
-        sym.write.mode("overwrite").parquet(path)
+    # Same lock as the index build: concurrent gate branches asking for
+    # a not-yet-built edge artifact must not both write it.
+    with _KNN_INDEX_LOCK:
+        if not os.path.isdir(path):
+            home, probe, block_cols = _knn_assignments(spark, sf_dir, nprobe)
+            _mp_block_guard(probe, home, block_cols, _MP_MAX_BLOCK_EDGES)
+            sym = _mp_symmetrize(_mp_eps_candidates(probe, home, block_cols))
+            sym.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -1631,11 +1649,18 @@ def q229_dbscan_agreement_gate(spark, sf_dir):
     are its documented quadratic-anchor contract); the co-membership
     pair join is quadratic in cluster size — dup-bounded, same as the
     dup-cluster maps q124 gates."""
-    ex = q219_dbscan_embeddings(spark, sf_dir).select(
-        "vec_id", F.col("role").alias("re"), F.col("cluster_id").alias("ce")
-    )
-    gr = q223_dbscan_grid(spark, sf_dir).select(
-        "vec_id", F.col("role").alias("rg"), F.col("cluster_id").alias("cg")
+    from ..operators.par import run_concurrently
+
+    # The two arms are independent full pipelines (edge generation +
+    # eager CC loops); evaluate them on driver threads so their
+    # internal actions overlap (par.py). Frames are unchanged.
+    ex, gr = run_concurrently(
+        lambda: q219_dbscan_embeddings(spark, sf_dir).select(
+            "vec_id", F.col("role").alias("re"), F.col("cluster_id").alias("ce")
+        ),
+        lambda: q223_dbscan_grid(spark, sf_dir).select(
+            "vec_id", F.col("role").alias("rg"), F.col("cluster_id").alias("cg")
+        ),
     )
 
     def _pairs(df, cl):

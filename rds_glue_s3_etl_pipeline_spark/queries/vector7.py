@@ -262,14 +262,21 @@ def q233_dbscan_truth_gate(spark, sf_dir):
     Scale: the truth arm is the documented quadratic anchor (q232);
     everything downstream is joins on vec_id and dup-bounded
     co-membership pair joins — the same cost class as q229."""
-    tr = q232_dbscan_truth(spark, sf_dir).select(
-        "vec_id", F.col("role").alias("rt"), F.col("cluster_id").alias("ct")
-    )
-    ex = q219_dbscan_embeddings(spark, sf_dir).select(
-        "vec_id", F.col("role").alias("re"), F.col("cluster_id").alias("ce")
-    )
-    gr = q223_dbscan_grid(spark, sf_dir).select(
-        "vec_id", F.col("role").alias("rg"), F.col("cluster_id").alias("cg")
+    from ..operators.par import run_concurrently
+
+    # Three independent arms (each an edge generator + eager CC loop):
+    # evaluate on driver threads so their internal actions overlap
+    # (operators/par.py, guide §2.6). Frames are unchanged.
+    tr, ex, gr = run_concurrently(
+        lambda: q232_dbscan_truth(spark, sf_dir).select(
+            "vec_id", F.col("role").alias("rt"), F.col("cluster_id").alias("ct")
+        ),
+        lambda: q219_dbscan_embeddings(spark, sf_dir).select(
+            "vec_id", F.col("role").alias("re"), F.col("cluster_id").alias("ce")
+        ),
+        lambda: q223_dbscan_grid(spark, sf_dir).select(
+            "vec_id", F.col("role").alias("rg"), F.col("cluster_id").alias("cg")
+        ),
     )
 
     def _pairs(df, cl):
@@ -477,31 +484,46 @@ def q234_split_leakage_truth(spark, sf_dir):
             .otherwise("test"),
         ).select("vec_id", "split")
 
-    # label policy: q216's assignment
-    pairs = q34_cosine_near_dup(spark, sf_dir).select("vec_a", "vec_b")
-    lcl = connected_components_star(pairs, src="vec_a", dst="vec_b").select(
-        F.col("id").alias("vec_id"), "cluster_id"
+    from ..operators.par import run_concurrently
+
+    def _label_cl():
+        # label policy: q216's assignment
+        pairs = q34_cosine_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+        cl = connected_components_star(pairs, src="vec_a", dst="vec_b").select(
+            F.col("id").alias("vec_id"), "cluster_id"
+        )
+        return gated_broadcast(cl)
+
+    def _grid_cl():
+        # grid policy: q224's assignment (CC over the persisted multi-
+        # probe edge set, min_nbrs=1 — the round-12 production edge
+        # generator)
+        gsym = _mp_eps_edges(spark, sf_dir)
+        cl = connected_components_star(
+            gsym.filter(F.col("a") < F.col("b")), src="a", dst="b"
+        ).select(F.col("id").alias("vec_id"), "cluster_id")
+        return gated_broadcast(cl)
+
+    # Three independent arms (two split policies + the truth edge
+    # list), each with its own eager actions — overlap them on driver
+    # threads (operators/par.py). Frames are unchanged.
+    lcl, gcl, tsym = run_concurrently(
+        _label_cl,
+        _grid_cl,
+        lambda: parquet_checkpoint(_true_eps_edges(spark, sf_dir), "q234_true_sym_"),
     )
     lsp = _bucketed(
-        e.join(gated_broadcast(lcl), "vec_id", "left").withColumn(
+        e.join(lcl, "vec_id", "left").withColumn(
             "cluster_id", F.coalesce("cluster_id", "vec_id")
         )
     ).withColumn("policy", F.lit("label_blocked"))
-
-    # grid policy: q224's assignment (CC over the persisted multi-probe
-    # edge set, min_nbrs=1 — the round-12 production edge generator)
-    gsym = _mp_eps_edges(spark, sf_dir)
-    gcl = connected_components_star(
-        gsym.filter(F.col("a") < F.col("b")), src="a", dst="b"
-    ).select(F.col("id").alias("vec_id"), "cluster_id")
     gsp = _bucketed(
-        e.join(gated_broadcast(gcl), "vec_id", "left").withColumn(
+        e.join(gcl, "vec_id", "left").withColumn(
             "cluster_id", F.coalesce("cluster_id", "vec_id")
         )
     ).withColumn("policy", F.lit("grid"))
 
     sp = lsp.unionByName(gsp)
-    tsym = parquet_checkpoint(_true_eps_edges(spark, sf_dir), "q234_true_sym_")
     leak = (
         tsym.join(
             sp.select(F.col("vec_id").alias("a"), "policy", F.col("split").alias("sa")),

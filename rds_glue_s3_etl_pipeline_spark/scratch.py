@@ -21,8 +21,12 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 
 _ROOT: str | None = None
+# Queries may build scratch state from several driver threads
+# (operators/par.py); the lazy root init must not race.
+_ROOT_LOCK = threading.Lock()
 
 
 def _cleanup() -> None:  # pragma: no cover - exercised at interpreter exit
@@ -36,10 +40,11 @@ def scratch_root() -> str:
     """The per-process scratch root, created lazily and removed at
     interpreter exit."""
     global _ROOT
-    if _ROOT is None or not os.path.isdir(_ROOT):
-        _ROOT = tempfile.mkdtemp(prefix="rds_spark_scratch_")
-        atexit.register(_cleanup)
-    return _ROOT
+    with _ROOT_LOCK:
+        if _ROOT is None or not os.path.isdir(_ROOT):
+            _ROOT = tempfile.mkdtemp(prefix="rds_spark_scratch_")
+            atexit.register(_cleanup)
+        return _ROOT
 
 
 def scratch_dir(prefix: str) -> str:

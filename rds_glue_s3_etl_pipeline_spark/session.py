@@ -102,7 +102,19 @@ def released_blocks(spark: SparkSession):
     Only valid when nothing RETURNED from the context carries lineage
     into the released blocks — i.e. the context must end with terminal
     writes (parquet/snapshot) or bounded collects.
+
+    Concurrency guard: inside an operators/par.py worker thread the
+    release is SKIPPED — the before/after RDD-id diff cannot tell this
+    branch's blocks from a sibling branch's, so releasing here would
+    unpersist checkpoints the sibling is mid-query on (observed as
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The caller's own main-thread
+    context or the bench's between-query sweep still reclaims them.
     """
+    import threading
+
+    if threading.current_thread().name.startswith("rds-par"):
+        yield
+        return
     jsc = spark.sparkContext._jsc
     before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
     try:
