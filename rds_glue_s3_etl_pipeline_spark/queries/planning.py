@@ -567,7 +567,16 @@ def q216_leakage_safe_split(spark, sf_dir):
     from .vector import q34_cosine_near_dup
 
     e = load(spark, sf_dir, "embeddings").select("vec_id")
-    pairs = q34_cosine_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    # Checkpoint the pair list: it feeds BOTH the component contraction
+    # and the leak re-proof's symmetric join below — without this the
+    # all-pairs scoring join evaluated twice (once inside CC's own
+    # checkpoint, once live in the final job). eager=False: CC's first
+    # convergence probe materializes it.
+    pairs = (
+        q34_cosine_near_dup(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
     cl = connected_components_star(pairs, src="vec_a", dst="vec_b").select(
         F.col("id").alias("vec_id"), "cluster_id"
     )

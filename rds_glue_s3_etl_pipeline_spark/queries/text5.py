@@ -452,15 +452,18 @@ def q181_dedup_agreement(spark, sf_dir):
     pass drops, their overlap, and the Jaccard of the two duplicate
     sets. Three count aggregates cross-joined — nothing collects; both
     inputs are the already-verified operators, composed."""
+    from ..operators.par import run_concurrently
     from .events3 import q124_dedup_keep_best
 
-    span = (
-        q170_repeated_spans(spark, sf_dir)
+    # The two detectors are independent pipelines (the MinHash arm runs
+    # an eager CC loop); overlap them on driver threads (par.py).
+    span, kept = run_concurrently(
+        lambda: q170_repeated_spans(spark, sf_dir)
         .filter(F.col("dup_frac") >= _SPAN_DUP_FRAC)
-        .select("doc_id")
-    )
-    kept = q124_dedup_keep_best(spark, sf_dir).select(
-        F.col("kept_doc_id").alias("doc_id")
+        .select("doc_id"),
+        lambda: q124_dedup_keep_best(spark, sf_dir).select(
+            F.col("kept_doc_id").alias("doc_id")
+        ),
     )
     docs = load(spark, sf_dir, "documents").select("doc_id")
     dropped = docs.join(kept, "doc_id", "left_anti")

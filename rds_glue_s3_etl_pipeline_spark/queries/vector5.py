@@ -572,13 +572,18 @@ def q166_vector_dedup_recall_gate(spark, sf_dir):
     exactly this query's shape. Gate output is one row, trivially
     oracle-checkable; the probe side's own correctness is q164/q165's
     hash-matched oracles."""
+    from ..operators.par import run_concurrently
     from .vector2 import q132_incremental_vector_dedup
 
-    exact = q132_incremental_vector_dedup(spark, sf_dir).select(
-        "new_vec_id", F.col("best_hist_vec_id").alias("e_best")
-    )
-    ap = q164_incremental_vector_dedup_adaptive(spark, sf_dir).select(
-        "new_vec_id", F.col("best_hist_vec_id").alias("a_best")
+    # Exact and probe arms are independent pipelines (the adaptive arm
+    # trains its own tree index); overlap them on driver threads.
+    exact, ap = run_concurrently(
+        lambda: q132_incremental_vector_dedup(spark, sf_dir).select(
+            "new_vec_id", F.col("best_hist_vec_id").alias("e_best")
+        ),
+        lambda: q164_incremental_vector_dedup_adaptive(spark, sf_dir).select(
+            "new_vec_id", F.col("best_hist_vec_id").alias("a_best")
+        ),
     )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_probe = ap.agg(F.count(F.lit(1)).alias("n_probe"))

@@ -61,6 +61,25 @@ def main() -> None:
     spark = get_spark("query_profile", cpus=cpus, shuffle_partitions=cpus)
     store = spark.sparkContext._jsc.sc().statusStore()
 
+    def canary() -> float:
+        # bench.py's fixed synthetic workload: times the MACHINE so
+        # cross-run walls can be normalized for host interference.
+        t0 = time.perf_counter()
+        (
+            spark.range(100_000_000)
+            .selectExpr("id % 1024 AS k", "id * 2654435761 % 97 AS v")
+            .groupBy("k")
+            .agg({"v": "sum", "*": "count"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    canary()  # warm the canary plan
+    c0 = min(canary(), canary())
+    print(f"canary {c0:.3f}s", flush=True)
+
     names = args.names or list(REGISTRY)
     results: dict[str, dict] = {}
     for name in names:
@@ -89,7 +108,10 @@ def main() -> None:
             f"stages {best['stages']:4d}  tasks {best['tasks']:6d}",
             flush=True,
         )
+    c1 = min(canary(), canary())
+    print(f"canary {c1:.3f}s", flush=True)
     if args.json:
+        results["__canary__"] = {"before": round(c0, 3), "after": round(c1, 3)}
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
 
