@@ -14,10 +14,80 @@ does not grow exponentially across iterations.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Size-adaptive hybrid (optimization round 15): distributed contraction
+# rounds run only while the (exactly counted) edge list exceeds this
+# gate; at or below it the remaining graph is solved on the driver with
+# an exact vectorized min-label union-find. This is the standard
+# "finish the contracted tail locally" pattern: every distributed CC
+# round costs a fixed number of shuffles + one convergence probe, and
+# past the first contractions the surviving edge list is component-
+# bounded — burning 5-6 cluster-wide barriers on a graph that fits in
+# 16 MB of driver memory is pure coordination overhead at ANY scale.
+# 1M two-long rows ≈ 16 MB collected via Arrow — far under the driver
+# heap, same argument class as skew.BROADCAST_ROW_GATE. A giant
+# component whose star edge list never contracts below the gate keeps
+# the fully distributed path (the sig fixpoint check is unchanged).
+_LOCAL_CC_EDGE_GATE = int(os.environ.get("RDS_LOCAL_CC_EDGE_GATE", 1_000_000))
+
+
+def _local_cc_pdf(pdf, a_col: str, b_col: str):
+    """Exact min-label connected components of an edge list held in a
+    pandas DataFrame — vectorized min-hooking + pointer jumping
+    (Shiloach-Vishkin shape, O(log n) numpy passes, no Python loop
+    over edges). Returns a pandas DataFrame (id, cluster_id) with one
+    row per distinct node, cluster_id = component minimum (numeric min
+    for numeric ids, lexicographic for strings — the same ordering
+    F.min uses).
+    """
+    import numpy as np
+    import pandas as pd
+
+    nodes, codes = np.unique(
+        np.concatenate([pdf[a_col].to_numpy(), pdf[b_col].to_numpy()]),
+        return_inverse=True,
+    )
+    m = len(pdf)
+    u, v = codes[:m], codes[m:]
+    # np.unique sorts, so code order == node-id order: min over codes
+    # IS min over ids.
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        lu, lv = parent[u], parent[v]
+        lo = np.minimum(lu, lv)
+        hi = np.maximum(lu, lv)
+        before = parent.copy()
+        np.minimum.at(parent, hi, lo)
+        # full path compression (pointer jumping to fixpoint)
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if np.array_equal(parent, before):
+            break
+    return pd.DataFrame({"id": nodes, "cluster_id": nodes[parent]})
+
+
+def _local_cc(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Driver-side exact CC of a gate-bounded edge list; returns the
+    (id, cluster_id) DataFrame with the input columns' Spark types."""
+    spark = edges.sparkSession
+    a_type = edges.schema[a_col].dataType.simpleString()
+    pdf = edges.toPandas()
+    if pdf[[a_col, b_col]].isnull().values.any():
+        # A null endpoint would silently coerce long ids to float in
+        # pandas; no registered edge generator produces one.
+        raise ValueError("local CC requires non-null edge endpoints")
+    out = _local_cc_pdf(pdf, a_col, b_col)
+    return spark.createDataFrame(
+        out, schema=f"id {a_type}, cluster_id {a_type}"
+    )
 
 
 def connected_components(
@@ -38,7 +108,24 @@ def connected_components(
     before fixpoint the labels are only partially propagated; with
     ``strict`` (default) that raises, otherwise it warns and returns
     the partial labels.
+
+    Size-adaptive: when the distinct undirected edge list is at or
+    below the driver gate (_LOCAL_CC_EDGE_GATE), the whole graph is
+    solved locally in one collect + one exact vectorized union-find —
+    identical labels, none of the per-round shuffle/probe rounds.
     """
+    # Gate probe: CollectLimit stops the scan early when the list is
+    # over-size, so a too-big graph pays a bounded partial pass and
+    # falls through to the distributed loop; a gate-sized one is
+    # re-evaluated once by the local collect (cheap by definition).
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    if und.limit(_LOCAL_CC_EDGE_GATE + 1).count() <= _LOCAL_CC_EDGE_GATE:
+        return _local_cc(und, "a", "b")
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -173,6 +260,17 @@ def connected_components_star(
 
     sig = _sig(e)
     for _ in range(max_iter):
+        # Size-adaptive hand-off: the signature probe already carries
+        # the exact edge count; once the (shrinking) edge list fits the
+        # driver gate, finish with the exact local union-find instead
+        # of paying 5-6 shuffles + a probe per remaining contraction
+        # round. At bench scale this triggers immediately; on a 100 TB
+        # corpus the first rounds contract near-clique dup groups to
+        # component-bounded stars and the tail then fits long before
+        # the gate. Labels are identical by construction (min-label
+        # components either way).
+        if sig[0] <= _LOCAL_CC_EDGE_GATE:
+            return _local_cc(e, "u", "v")
         # --- large-star: group the symmetric edge list by u; each
         # strictly-larger neighbor v re-attaches to m = min(N(u) ∪ {u}).
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -224,11 +224,16 @@ def test_connected_components_star_long_chain(spark):
     assert out == {i: 0 for i in range(101)}
 
 
-def test_connected_components_raises_without_convergence(spark):
+def test_connected_components_raises_without_convergence(spark, monkeypatch):
     import pytest
 
+    from rds_glue_s3_etl_pipeline_spark.operators import graph
     from rds_glue_s3_etl_pipeline_spark.operators.graph import connected_components
 
+    # Force the distributed path (gate 0): the size-adaptive local
+    # solve would otherwise finish any test-sized graph regardless of
+    # max_iter.
+    monkeypatch.setattr(graph, "_LOCAL_CC_EDGE_GATE", 0)
     # A 5-node path needs ~4 propagation rounds; max_iter=1 cannot finish.
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
@@ -237,6 +242,63 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(edges, max_iter=1)
     with pytest.warns(RuntimeWarning, match="did not converge"):
         connected_components(edges, max_iter=1, strict=False).collect()
+
+
+def test_connected_components_local_matches_distributed(spark, monkeypatch):
+    """The size-adaptive local union-find must label EXACTLY like the
+    distributed contraction loops — pinned on a randomized multi-shape
+    graph (cliques, chains, rings, singles-by-absence, both edge
+    orientations, duplicate pairs, self-loops)."""
+    import random
+
+    from rds_glue_s3_etl_pipeline_spark.operators import graph
+
+    rng = random.Random(1514)
+    pairs: list[tuple[int, int]] = []
+    # 8 cliques of 4-9 nodes on ids 0..99, a 40-hop chain on 200..240,
+    # a ring on 300..319, random noise edges inside 400..449.
+    base = 0
+    for _ in range(8):
+        n = rng.randint(4, 9)
+        ids = [base + i for i in range(n)]
+        pairs += [(a, b) for a in ids for b in ids if a < b]
+        base += n + rng.randint(1, 3)
+    pairs += [(i, i + 1) for i in range(200, 240)]
+    pairs += [(300 + i, 300 + (i + 1) % 20) for i in range(20)]
+    pairs += [
+        (rng.randint(400, 449), rng.randint(400, 449)) for _ in range(60)
+    ]
+    # both orientations + duplicates, as real edge generators emit them
+    pairs += [(b, a) for (a, b) in rng.sample(pairs, 40)]
+    pairs += rng.sample(pairs, 25)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+
+    def labels(gate):
+        monkeypatch.setattr(graph, "_LOCAL_CC_EDGE_GATE", gate)
+        star = {
+            r["id"]: r["cluster_id"]
+            for r in graph.connected_components_star(df).collect()
+        }
+        plain = {
+            r["id"]: r["cluster_id"]
+            # max_iter=60: label propagation needs O(diameter) rounds
+            # and the 40-hop chain exceeds the default 20
+            for r in graph.connected_components(df, max_iter=60).collect()
+        }
+        assert star == plain
+        return star
+
+    local = labels(1_000_000)  # local path for both operators
+    dist = labels(0)  # fully distributed path
+    assert local == dist
+    # mid-stream hand-off: the star loop runs distributed rounds first,
+    # then finishes locally once the contracting list fits the gate
+    monkeypatch.setattr(graph, "_LOCAL_CC_EDGE_GATE", 60)
+    mid = {
+        r["id"]: r["cluster_id"]
+        for r in graph.connected_components_star(df).collect()
+    }
+    assert mid == dist
 
 
 def test_global_row_number_matches_serial(spark):
