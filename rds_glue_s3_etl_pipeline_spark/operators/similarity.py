@@ -134,20 +134,46 @@ def kmeans_assign(
 
     Returns (id_col, vec_col, c_id, cos_sim) with exactly one row per
     input vector.
+
+    Plan shape (optimization round 15): the codebook is collected into
+    ONE array row (k entries, c_id-sorted) and the argmax is a
+    higher-order fold over it — a map-only pass with NO exchange, where
+    the old per-vector window shuffled and sorted N x k scored rows
+    (embedding payload included) per assignment. Ordering semantics are
+    the window's exactly: 4dp-rounded cosine desc (Spark NaN sorts
+    largest, null loses to non-null), ties to the smallest c_id (the
+    fold keeps the earlier entry of the c_id-sorted array on equality).
     """
-    scored = embeddings.crossJoin(
-        F.broadcast(centroids.select("c_id", "cv"))
-    ).select(
-        id_col,
-        vec_col,
-        "c_id",
-        F.round(V.cosine(F.col(vec_col), F.col("cv")), 4).alias("cos_sim"),
+    cb = centroids.select(
+        F.array_sort(F.collect_list(F.struct("c_id", "cv"))).alias("__cb")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    cos = lambda x: F.round(V.cosine(F.col(vec_col), x["cv"]), 4)  # noqa: E731
+
+    def merge(acc, x):
+        cand = F.struct(cos(x).alias("cos_sim"), x["c_id"].alias("c_id"))
+        better = (
+            acc.isNull()
+            | (cand["cos_sim"] > acc["cos_sim"])
+            | (acc["cos_sim"].isNull() & cand["cos_sim"].isNotNull())
+        )
+        return F.when(better, cand).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("__cb"),
+        F.lit(None).cast("struct<cos_sim:double,c_id:bigint>"),
+        merge,
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        embeddings.crossJoin(F.broadcast(cb))
+        .select(id_col, vec_col, best.alias("__best"))
+        # an empty codebook yields no assignments, as the join did
+        .filter(F.col("__best").isNotNull())
+        .select(
+            id_col,
+            vec_col,
+            F.col("__best.c_id").alias("c_id"),
+            F.col("__best.cos_sim").alias("cos_sim"),
+        )
     )
 
 
@@ -368,6 +394,46 @@ def block_sub_assign(
         sub = block_sub_codebook(
             df, block_cols, k_sub, id_out, id_col, vec_col, nrm_col
         )
+    if nprobe == 1:
+        # Argmax as a fold over the block's sub-codebook collected into
+        # one array row per block (id_out-sorted) — the per-block join
+        # stays (broadcast while the hint holds), but the per-vector
+        # window that re-shuffled and sorted the whole corpus x k_sub
+        # (embedding payload included) is gone. Ordering semantics are
+        # the window's exactly (4dp cosine desc, NaN largest, null
+        # loses, ties to the smallest id_out via the sorted array).
+        arr = sub.groupBy(*block_cols).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_out), "__sv", "__snrm"))
+            ).alias("__subs")
+        )
+
+        def merge(acc, x):
+            cand = F.struct(
+                F.round(
+                    V.dot(F.col(vec_col), x["__sv"])
+                    / (F.col(nrm_col) * x["__snrm"]),
+                    4,
+                ).alias("s"),
+                x[id_out].alias("i"),
+            )
+            better = (
+                acc.isNull()
+                | (cand["s"] > acc["s"])
+                | (acc["s"].isNull() & cand["s"].isNotNull())
+            )
+            return F.when(better, cand).otherwise(acc)
+
+        best = F.aggregate(
+            F.col("__subs"),
+            F.lit(None).cast("struct<s:double,i:bigint>"),
+            merge,
+        )
+        return (
+            df.join(F.broadcast(arr) if hint_broadcast else arr, list(block_cols))
+            .withColumn(id_out, best["i"])
+            .drop("__subs")
+        )
     scos = F.round(
         V.dot(F.col(vec_col), F.col("__sv")) / (F.col(nrm_col) * F.col("__snrm")),
         4,
@@ -399,14 +465,36 @@ def pq_encode(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
     c_id tie-break — the cross-engine determinism discipline, same as
     kmeans_assign's cosine rounding.
     """
-    dist = F.round(F.sqrt(V.l2_distance_sq(F.col("sv"), F.col("cv"))), 4)
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("dist"), F.asc("c_id"))
+    # Argmin as a fold over the per-subspace codebook collected into
+    # one array row per m (c_id-sorted) — map-only after the broadcast
+    # join on m, where the per-(vec_id, m) window re-shuffled and
+    # sorted the whole encoded corpus x KSUB. Ordering semantics are
+    # the window's exactly: 4dp L2 asc with Spark's asc-nulls-first
+    # (a null distance wins; NaN sorts largest and loses), ties to the
+    # smallest c_id via the sorted array.
+    arr = codebooks.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("c_id", "cv"))).alias("__cbs")
+    )
+
+    def merge(acc, x):
+        cand = F.struct(
+            F.round(F.sqrt(V.l2_distance_sq(F.col("sv"), x["cv"])), 4).alias(
+                "d"
+            ),
+            x["c_id"].alias("c"),
+        )
+        better = acc.isNull() | (
+            acc["d"].isNotNull() & (cand["d"].isNull() | (cand["d"] < acc["d"]))
+        )
+        return F.when(better, cand).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("__cbs"), F.lit(None).cast("struct<d:double,c:bigint>"), merge
+    )
     return (
-        subs.join(F.broadcast(codebooks), "m")
-        .select("vec_id", "m", "sv", "c_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("c_id").alias("code"), "sv")
+        subs.join(F.broadcast(arr), "m")
+        .select("vec_id", "m", best["c"].alias("code"), "sv")
+        .filter(F.col("code").isNotNull())
     )
 
 

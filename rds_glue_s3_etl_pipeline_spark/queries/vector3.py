@@ -797,32 +797,20 @@ def q149_semantic_dedup_2level(spark, sf_dir, *, fin=None):
     assignment cost. Finer blocking can only LOWER pair recall —
     survivors per group and the keep-the-outlier policy are unchanged.
     """
+    from ..operators.similarity import block_sub_assign
+
     if fin is None:
         fin = _coarse_fin(spark, sf_dir)
-    w_sub = Window.partitionBy("c_id").orderBy(
-        F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
-    )
-    sub = (
-        fin.withColumn("rn", F.row_number().over(w_sub))
-        .filter(F.col("rn") <= _SUB_K)
-        .select(
-            "c_id",
-            F.col("vec_id").alias("s_id"),
-            F.col("embedding").alias("sv"),
-            F.col("nrm").alias("snrm"),
-        )
-    )
-    scos = F.round(
-        V.dot(F.col("embedding"), F.col("sv")) / (F.col("nrm") * F.col("snrm")), 4
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("scos"), F.asc("s_id"))
-    sa = (
-        fin.join(F.broadcast(sub), "c_id")
-        .select("vec_id", "c_id", "s_id", "embedding", "nrm", scos.alias("scos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "c_id", "s_id", "embedding", "nrm")
-    )
+    # One hierarchy level through the shared operator (identical md5
+    # sub-codebook sample, 4dp cosine, s_id tie-break — and since the
+    # round-15 optimization, a map-only argmax fold instead of a
+    # corpus-wide window).
+    sa = block_sub_assign(
+        fin.select("vec_id", "c_id", "embedding", "nrm"),
+        ("c_id",),
+        _SUB_K,
+        "s_id",
+    ).select("vec_id", "c_id", "s_id", "embedding", "nrm")
     a = sa.alias("a")
     b = sa.alias("b")
     cos = F.round(
