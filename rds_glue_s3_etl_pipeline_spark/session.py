@@ -39,6 +39,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions to the advisory SIZE rather
+        # than padding them out to the core count (the Spark docs'
+        # recommended production setting): partition counts then derive
+        # from data volume at any scale — tens of MB collapse to a few
+        # partitions instead of 32 near-empty ones, and a 100 TB
+        # exchange still splits by size. Advisory size stays the 64 MB
+        # default, overridable per deployment.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Spark 4's ICU-backed lower/upper triggers a pathologically
