@@ -515,16 +515,22 @@ def q206_bloom_stream_ingest(spark, sf_dir):
     n_eval_keys = all_keys.count()
     m = B.bloom_bits(n_eval_keys)
 
+    # Three deterministic ingest files via ONE partitioned write (one
+    # job, not three — the q161 feed pattern); per-batch key sets are
+    # unchanged (distinct over (batch, key)).
     feed_dir = scratch_dir("q206_feed_")
-    for i in range(3):
-        (
-            ev.where(F.col("doc_id") % 3 == i)
-            .select("key")
-            .distinct()
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(_os.path.join(feed_dir, f"batch_{i}"))
+    (
+        ev.withColumn(
+            "batch",
+            F.concat(F.lit("batch_"), (F.col("doc_id") % 3).cast("int")),
         )
+        .select("batch", "key")
+        .distinct()
+        .repartition("batch")
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(feed_dir)
+    )
 
     snap_dir = scratch_dir("q206_bloom_snap_")
 
@@ -540,7 +546,7 @@ def q206_bloom_stream_ingest(spark, sf_dir):
     stream = (
         spark.readStream.schema("key string")
         .option("maxFilesPerTrigger", "1")
-        .parquet(_os.path.join(feed_dir, "batch_*"))
+        .parquet(_os.path.join(feed_dir, "batch=batch_*"))
     )
     chk = scratch_dir("q206_chk_")
     q = (
