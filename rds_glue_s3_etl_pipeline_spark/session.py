@@ -39,14 +39,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce post-shuffle partitions to the advisory SIZE rather
-        # than padding them out to the core count (the Spark docs'
-        # recommended production setting): partition counts then derive
-        # from data volume at any scale — tens of MB collapse to a few
-        # partitions instead of 32 near-empty ones, and a 100 TB
-        # exchange still splits by size. Advisory size stays the 64 MB
-        # default, overridable per deployment.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst: round 15 shipped "false" (the docs'
+        # production recommendation — partition counts derive from the
+        # advisory size) WITHOUT measuring both settings; the round-16
+        # sweep (tools/aqe_sweep.py, min-of-3 interleaved passes at 32
+        # cores, OPTIMIZATION_r16.md) measured it a net LOSS at bench
+        # scale: q153 4.58s -> 2.80s and q102 1.93 -> 1.58 restoring
+        # "true", every other probed query within noise. At MB-scale
+        # exchanges size-only coalescing collapses post-shuffle stages
+        # to 1-2 fat partitions and starves the other cores; at 100 TB
+        # the two settings coincide (every stage's bytes >> advisory x
+        # cores), so "true" is the correct local default and the env
+        # override exists for deployments that want size-only counts.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
@@ -124,7 +132,13 @@ def released_blocks(spark: SparkSession):
     """
     import threading
 
-    if threading.current_thread().name.startswith("rds-par"):
+    # Imported here (not module-top) to avoid a session<->operators
+    # import cycle; sharing the constant means a renamed prefix in
+    # par.py cannot silently re-enable the cross-branch unpersist bug
+    # this guard exists to prevent (round-15 ADVICE #2).
+    from .operators.par import PAR_THREAD_PREFIX
+
+    if threading.current_thread().name.startswith(PAR_THREAD_PREFIX):
         yield
         return
     jsc = spark.sparkContext._jsc
