@@ -176,6 +176,7 @@ def refresh_snapshot(
     epoch_id: int,
     on_reingest: str = "replace",
     mode: str = "full",
+    base: DataFrame | None = None,
 ) -> None:
     """Incremental refresh: fold a new batch into the snapshot without
     re-clustering history.
@@ -243,8 +244,15 @@ def refresh_snapshot(
         raise ValueError(f"on_reingest must be 'replace' or 'error': {on_reingest!r}")
     if mode not in ("full", "delta"):
         raise ValueError(f"mode must be 'full' or 'delta': {mode!r}")
-    hist = read_snapshot_assigned(spark, snapshot_dir, before_epoch=epoch_id)
-    base = hist  # pre-refresh state, the delta diff's reference point
+    # ``base``: the assignment state at the latest epoch STRICTLY
+    # BEFORE ``epoch_id``, when the caller has already read it (q161's
+    # streaming fold reads the same state to derive the seen-id set) —
+    # skips a duplicate watermark-probe action + parquet re-read per
+    # fold. Callers that pass it must have read it with
+    # before_epoch=epoch_id, or replay idempotence breaks.
+    if base is None:
+        base = read_snapshot_assigned(spark, snapshot_dir, before_epoch=epoch_id)
+    hist = base  # pre-refresh state; base stays the delta diff's reference
     new_ids = new_docs.select("doc_id")
     if on_reingest == "error":
         n_dup = hist.join(new_ids, "doc_id", "left_semi").count()
@@ -271,9 +279,13 @@ def refresh_snapshot(
     # Materialize the incident edges once — they feed both the seed
     # derivation and the CC union, and recomputing the verify join
     # twice would double the fold's dominant stage. eager=False: the
-    # broadcast-gate count below is the first action and materializes
-    # the checkpoint (one driver round-trip instead of three for the
-    # inc/affected/gate chain).
+    # broadcast-gate count below is the first action against the
+    # checkpoint — its CollectLimit probe may compute only part of the
+    # final stage, with the remainder materializing in the first full
+    # consumer; either way the lineage runs once and the blocks pin as
+    # computed (one driver round-trip instead of three for the
+    # inc/affected/gate chain). The upstream here is deterministic, so
+    # partial-then-complete materialization cannot skew.
     inc = new_incident_edges.select("doc_a", "doc_b").localCheckpoint(eager=False)
     seed_ids = (
         inc.select(F.col("doc_a").alias("doc_id"))

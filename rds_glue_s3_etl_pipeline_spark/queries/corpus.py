@@ -254,6 +254,9 @@ def q161_snapshot_stream_ingest(spark, sf_dir):
                 batch_df.select("doc_id", "n_chars"),
                 _incident_edges(sh, batch_ids, sig=sig_seen),
                 epoch_id=target,
+                # read with before_epoch=target above — reuse it instead
+                # of a second watermark probe + parquet read per fold
+                base=base,
             )
 
         stream = (
