@@ -19,6 +19,7 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Size-adaptive hybrid (optimization round 15): distributed contraction
 # rounds run only while the (exactly counted) edge list exceeds this
@@ -114,22 +115,43 @@ def connected_components(
     solved locally in one collect + one exact vectorized union-find —
     identical labels, none of the per-round shuffle/probe rounds.
     """
-    # Gate probe: CollectLimit stops the scan early when the list is
-    # over-size, so a too-big graph pays a bounded partial pass and
-    # falls through to the distributed loop; a gate-sized one is
-    # re-evaluated once by the local collect (cheap by definition).
+    # Canonical undirected edge list, PERSISTED before the gate probe:
+    # the probe, the local collect AND the distributed loop's sym all
+    # derive from it, so the (possibly expensive, un-checkpointed)
+    # upstream edge lineage is evaluated once — previously the
+    # over-gate path re-derived every edge for sym, and the under-gate
+    # path re-derived them for toPandas (round-15 ADVICE #1). The
+    # probe stays limit+1/count: its CollectLimit stage is bounded and
+    # whatever partitions it does compute land in the cache.
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
+        .persist()
     )
-    if und.limit(_LOCAL_CC_EDGE_GATE + 1).count() <= _LOCAL_CC_EDGE_GATE:
-        return _local_cc(und, "a", "b")
+    # Non-numeric ids (string doc keys) are far wider than 2 longs on
+    # the driver — shrink the local gate so the collect stays bounded
+    # by memory, not row count (round-15 ADVICE #3).
+    gate = _LOCAL_CC_EDGE_GATE
+    if not isinstance(
+        edges.schema[src].dataType, (T.LongType, T.IntegerType, T.ShortType)
+    ):
+        gate //= 8
+    if und.limit(gate + 1).count() <= gate:
+        try:
+            return _local_cc(und, "a", "b")
+        finally:
+            und.unpersist()
 
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        und.union(
+            und.filter(F.col("a") != F.col("b")).select(
+                F.col("b").alias("a"), F.col("a").alias("b")
+            )
+        )
+        # und is already distinct and canonically ordered, so the union
+        # with its self-loop-free swap IS the distinct symmetric set —
+        # no second distinct shuffle over the raw edges.
         # Persist partitioned on the join key (b == labels.id): persist,
         # not localCheckpoint, keeps the repartition node visible to
         # Catalyst (a checkpointed RDD reports UnknownPartitioning), so
@@ -205,6 +227,7 @@ def connected_components(
     # running many components calls (bench: 8+ queries) would
     # accumulate one edge list per call.
     sym.unpersist()
+    und.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
