@@ -88,10 +88,14 @@ _NLJ_BOUNDED_JUSTIFIED: dict[str, dict[str, str]] = {
     "q146_pq_topk": {"Generate": _PQ_EXPLODE},
     "q158_pq_recall": {
         "Generate": _PQ_EXPLODE,
-        "Filter+Scan ExistingRDD[c_id,cv,m]": _CODEBOOK,
+        # round-15 fold rewrite (operators/similarity.py pq_encode):
+        # the per-m codebook is now broadcast WITHOUT a leading Filter,
+        # so the peeled signature lost its "Filter+" prefix — same
+        # ≤ m×256-row checkpointed relation.
+        "Scan ExistingRDD[c_id,cv,m]": _CODEBOOK,
     },
     "q160_pq_trained_topk": {
-        "Filter+Scan ExistingRDD[c_id,cv,m]": _CODEBOOK
+        "Scan ExistingRDD[c_id,cv,m]": _CODEBOOK
     },
     "q173_quality_calibration": {
         "BroadcastHashJoin": (
