@@ -139,25 +139,29 @@ def assigned_table(docs: DataFrame, edges: DataFrame) -> DataFrame:
 def survivors(assigned: DataFrame) -> DataFrame:
     """q124's survivor contract from an assignment state: one kept doc
     per cluster (longest text, ties to lowest doc_id) plus the member
-    count — (cluster_id, kept_doc_id, kept_n_chars, n_members). The
-    window partitions by cluster (bounded by construction); the member
-    count reuses the same grouping key, so one shuffle serves both."""
+    count — (cluster_id, kept_doc_id, kept_n_chars, n_members). Both
+    the rank and the member count are window functions over the SAME
+    cluster_id partitioning, so the whole tail is one exchange + one
+    sort over a single scan of ``assigned`` — the previous
+    groupBy-count + join re-scanned the assignment and shuffled it a
+    second time for an identical result (count(*) over the partition
+    == the per-cluster group count; the inner join never dropped a
+    kept row since its cluster has >= 1 member by construction)."""
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
-    kept = (
+    wc = Window.partitionBy("cluster_id")
+    return (
         assigned.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
         .filter(F.col("rn") == 1)
         .select(
             "cluster_id",
             F.col("doc_id").alias("kept_doc_id"),
             F.col("n_chars").alias("kept_n_chars"),
+            "n_members",
         )
     )
-    members = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    return kept.join(members, "cluster_id")
 
 
 def build_snapshot(

@@ -261,22 +261,24 @@ def q127_embedding_dedup_keep_best(spark, sf_dir):
             "nrm",
         )
     )
+    # Rank and member count share one cluster_id window partitioning —
+    # a single exchange+sort over one pass of assigned, replacing the
+    # groupBy-count + join that re-derived and re-shuffled it.
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("nrm").desc(), F.col("vec_id").asc()
     )
-    kept = (
+    wc = Window.partitionBy("cluster_id")
+    return (
         assigned.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
         .filter(F.col("rn") == 1)
         .select(
             "cluster_id",
             F.col("vec_id").alias("kept_vec_id"),
             F.col("nrm").alias("kept_norm"),
+            "n_members",
         )
     )
-    members = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    return kept.join(members, "cluster_id")
 
 
 # --------------------------------------------------------------------------

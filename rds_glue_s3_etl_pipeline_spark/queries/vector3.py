@@ -179,21 +179,24 @@ def _survivor_groups(fin, pairs):
     members = cl.join(
         fin.select("vec_id", F.col("cos_sim").alias("cent_cos")), "vec_id"
     )
+    # Rank and group size as two window functions over the SAME
+    # cluster_id partitioning: one exchange + one sort over a single
+    # pass of members, where the groupBy-count + join computed the
+    # members join twice and shuffled it twice for an identical result.
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("cent_cos").asc(), F.col("vec_id").asc()
     )
-    kept = (
+    wc = Window.partitionBy("cluster_id")
+    return (
         members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
         .filter(F.col("rn") == 1)
         .select(
             "cluster_id",
             F.col("vec_id").alias("kept_vec_id"),
             F.col("cent_cos").alias("kept_cent_cos"),
+            "n_members",
         )
-    )
-    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
-    return kept.join(sizes, "cluster_id").select(
-        "cluster_id", "kept_vec_id", "kept_cent_cos", "n_members"
     )
 
 
