@@ -75,12 +75,9 @@ def _local_cc_pdf(pdf, a_col: str, b_col: str):
     return pd.DataFrame({"id": nodes, "cluster_id": nodes[parent]})
 
 
-def _local_cc(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
-    """Driver-side exact CC of a gate-bounded edge list; returns the
-    (id, cluster_id) DataFrame with the input columns' Spark types."""
-    spark = edges.sparkSession
-    a_type = edges.schema[a_col].dataType.simpleString()
-    pdf = edges.toPandas()
+def _local_cc_result(spark, pdf, a_col: str, b_col: str, a_type: str) -> DataFrame:
+    """Driver-side exact CC of an already-collected edge list; returns
+    the (id, cluster_id) DataFrame with the given Spark id type."""
     if pdf[[a_col, b_col]].isnull().values.any():
         # A null endpoint would silently coerce long ids to float in
         # pandas; no registered edge generator produces one.
@@ -88,6 +85,18 @@ def _local_cc(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     out = _local_cc_pdf(pdf, a_col, b_col)
     return spark.createDataFrame(
         out, schema=f"id {a_type}, cluster_id {a_type}"
+    )
+
+
+def _local_cc(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Driver-side exact CC of a gate-bounded edge list; returns the
+    (id, cluster_id) DataFrame with the input columns' Spark types."""
+    return _local_cc_result(
+        edges.sparkSession,
+        edges.toPandas(),
+        a_col,
+        b_col,
+        edges.schema[a_col].dataType.simpleString(),
     )
 
 
@@ -137,9 +146,19 @@ def connected_components(
         edges.schema[src].dataType, (T.LongType, T.IntegerType, T.ShortType)
     ):
         gate //= 8
-    if und.limit(gate + 1).count() <= gate:
+    # One BOUNDED collect serves both the gate probe and the local
+    # solve: if at most `gate` rows come back, the whole edge list is
+    # already on the driver — no separate probe-count action.
+    pdf = und.limit(gate + 1).toPandas()
+    if len(pdf) <= gate:
         try:
-            return _local_cc(und, "a", "b")
+            return _local_cc_result(
+                edges.sparkSession,
+                pdf,
+                "a",
+                "b",
+                edges.schema[src].dataType.simpleString(),
+            )
         finally:
             und.unpersist()
 
@@ -281,17 +300,27 @@ def connected_components_star(
         ).first()
         return (row["n"], row["h"])
 
+    # Entry gate as one BOUNDED collect: at bench scale the input edge
+    # list already fits the driver, and fusing the probe into the
+    # collect makes the whole local path a single action (the old shape
+    # paid a signature probe AND a toPandas). Over-gate graphs pay one
+    # bounded CollectLimit job (<= gate+1 two-long rows) before the
+    # distributed rounds — noise next to even one contraction round.
+    pdf = e.limit(_LOCAL_CC_EDGE_GATE + 1).toPandas()
+    if len(pdf) <= _LOCAL_CC_EDGE_GATE:
+        return _local_cc_result(edges.sparkSession, pdf, "u", "v", "long")
+
     sig = _sig(e)
     for _ in range(max_iter):
         # Size-adaptive hand-off: the signature probe already carries
         # the exact edge count; once the (shrinking) edge list fits the
         # driver gate, finish with the exact local union-find instead
         # of paying 5-6 shuffles + a probe per remaining contraction
-        # round. At bench scale this triggers immediately; on a 100 TB
-        # corpus the first rounds contract near-clique dup groups to
-        # component-bounded stars and the tail then fits long before
-        # the gate. Labels are identical by construction (min-label
-        # components either way).
+        # round. At bench scale the entry collect above already took
+        # the local path; on a 100 TB corpus the first rounds contract
+        # near-clique dup groups to component-bounded stars and the
+        # tail then fits long before the gate. Labels are identical by
+        # construction (min-label components either way).
         if sig[0] <= _LOCAL_CC_EDGE_GATE:
             return _local_cc(e, "u", "v")
         # --- large-star: group the symmetric edge list by u; each
