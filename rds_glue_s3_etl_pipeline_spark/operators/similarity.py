@@ -284,7 +284,13 @@ def spherical_kmeans_codebook(
     cent = init_centroids
     for _ in range(iters):
         assigned = kmeans_assign(embeddings, cent, id_col, vec_col)
-        cent = kmeans_update(assigned, vec_col).localCheckpoint(eager=True)
+        # eager=False: the next consumer (the following round's
+        # assignment broadcast, or the caller's first action over the
+        # returned codebook) materializes the k-row checkpoint inside
+        # its own job — one driver round-trip per Lloyd round instead
+        # of two, the same discipline as the CC loops. The plan is
+        # truncated immediately either way.
+        cent = kmeans_update(assigned, vec_col).localCheckpoint(eager=False)
     return cent
 
 
@@ -538,5 +544,8 @@ def pq_train_codebooks(
     cent = init_codebooks
     for _ in range(iters):
         enc = pq_encode(subs, cent)
-        cent = pq_update(enc).localCheckpoint(eager=True)
+        # eager=False: materialized by the next round's codebook
+        # broadcast (or the caller's first action) — see
+        # spherical_kmeans_codebook.
+        cent = pq_update(enc).localCheckpoint(eager=False)
     return cent

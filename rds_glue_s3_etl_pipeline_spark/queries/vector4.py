@@ -143,7 +143,11 @@ def q160_pq_trained_topk(spark, sf_dir):
         F.slice(
             V.as_double_array("embedding"), F.col("m") * _PQ_DSUB + 1, _PQ_DSUB
         ).alias("sv"),
-    )
+        # THREE consumers re-derived this scan+explode from parquet
+        # (two training encodes + the final encode): checkpoint it once,
+        # materialized by the first training job (eager=False). At
+        # 100 TB this is two saved corpus scans per run.
+    ).localCheckpoint(eager=False)
     csubs0 = cent.select("c_id", ms, "v").select(
         "c_id",
         "m",
@@ -334,37 +338,16 @@ def _sub_assign(df, block_cols, k_sub, id_out):
     """One hierarchy level: per existing block, take the first k_sub
     members (md5 order — the seedless deterministic sample every
     codebook consumer uses) as sub-centroids and assign each member to
-    its nearest (4dp cosine, id tie-break). The sub-codebook is
-    bounded by (#blocks x k_sub) rows and broadcast. Returns df plus
-    the ``id_out`` block column."""
-    w_pick = Window.partitionBy(*block_cols).orderBy(
-        F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
-    )
-    sub = (
-        df.withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") <= k_sub)
-        .select(
-            *block_cols,
-            F.col("vec_id").alias(id_out),
-            F.col("embedding").alias("__sv"),
-            F.col("nrm").alias("__snrm"),
-        )
-    )
-    scos = F.round(
-        V.dot(F.col("embedding"), F.col("__sv"))
-        / (F.col("nrm") * F.col("__snrm")),
-        4,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("__scos"), F.asc(id_out)
-    )
-    return (
-        df.join(F.broadcast(sub), list(block_cols))
-        .withColumn("__scos", scos)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .drop("__sv", "__snrm", "__scos", "rn")
-    )
+    its nearest (4dp cosine, id tie-break). Delegates to the shared
+    fold-based operator (operators.similarity.block_sub_assign,
+    nprobe=1): the per-VECTOR argmax window this used to run re-shuffled
+    the whole corpus (embedding payload included) per level — the exact
+    shape the round-15 fold rewrite removed from q149's path, with
+    ordering semantics preserved bit for bit (4dp cosine desc, ties to
+    the smallest id_out via the sorted codebook array)."""
+    from ..operators.similarity import block_sub_assign
+
+    return block_sub_assign(df, tuple(block_cols), k_sub, id_out)
 
 
 @query("q162_semantic_dedup_3level", oracle=_Q162_ORACLE, tags=("vector", "dedup", "graph", "EXT"))

@@ -93,6 +93,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Several broadcast-sized artifacts (trained codebooks, lazily
+        # checkpointed cluster maps) are materialized by the broadcast
+        # build of their first consumer; that build may legitimately
+        # contain one corpus-scale pass, which the 300s default timeout
+        # would kill on a large cluster. The broadcast VALUES stay
+        # k-row-bounded; only the build time needs the headroom.
+        .config(
+            "spark.sql.broadcastTimeout",
+            os.environ.get("SPARK_GRAFT_BROADCAST_TIMEOUT", "3600"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
