@@ -59,8 +59,12 @@ def _signatures(sh, num_perm=32):
     each ~5s fold at sf0.1)."""
     from ..operators.dedup import minhash_from_hashed_shingles
 
+    # eager=False: the build's edge generation (the first banding over
+    # these signatures, inside the CC gate collect) materializes the
+    # store in its own job; every later fold reads the pinned blocks.
+    # One driver action less per snapshot query, same sharing.
     return minhash_from_hashed_shingles(sh, num_perm=num_perm).localCheckpoint(
-        eager=True
+        eager=False
     )
 
 

@@ -284,6 +284,9 @@ def _tree_probe_scored(
     level_subs = []  # (prefix_cols, id_out, codebook df, bcast?) per sub-level
     for i, k_sub in enumerate(ks[1:]):
         id_out = f"s{i}_id"
+        # (Measured r16: lazily checkpointing each level's sub codebook
+        # for its two consumers ADDED jobs — the broadcast exchange
+        # already dedupes the shared subtree — so it stays lineage.)
         sub = block_sub_codebook(cur, tuple(block_cols), k_sub, id_out)
         can_bcast = n_blocks * k_sub <= _SUB_BROADCAST_ROWS
         cur = block_sub_assign(
@@ -748,6 +751,11 @@ def q169_adaptive_grid_report(spark, sf_dir):
     and aggregates block sizes per level; at fixture scale the grid is
     (16, 8), so two report rows, hash-exact."""
     _fin, cur, block_cols = _semantic_tree(spark, sf_dir)
+    # The per-level stats below reference the fully blocked corpus once
+    # PER LEVEL (depth ∝ log N plan copies of the level chain) —
+    # materialize it once; the block columns and counts are all the
+    # stats read, so the checkpoint is the narrow (ids + blocks) frame.
+    cur = cur.select("vec_id", *block_cols).localCheckpoint(eager=True)
     out = None
     for lvl in range(len(block_cols)):
         sizes = cur.groupBy(*block_cols[: lvl + 1]).agg(

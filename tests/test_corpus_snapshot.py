@@ -540,3 +540,42 @@ def test_q217_epoch_diff_classifies_churn(spark, tmp_path):
     assert got.get("dropped", 0) == 1    # epoch-0 keeper of {1,2} loses
     assert got.get("kept", 0) == 1       # 3 untouched
     assert "regrouped" not in got
+
+
+def test_survivors_single_window_matches_two_pass(spark):
+    """r16: the survivor tail computes rank and n_members in ONE
+    cluster_id window pass — pin it against the naive two-pass form
+    (rank window + groupBy count + join) on a randomized assignment
+    with ties, singletons and a large cluster."""
+    import random
+
+    rng = random.Random(1616)
+    rows = []
+    doc = 0
+    for cl in range(40):
+        for _ in range(rng.randint(1, 12)):
+            rows.append((doc, cl, rng.randint(1, 5) * 10))  # ties likely
+            doc += 1
+    assigned = spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, n_chars long"
+    )
+    got = _surv_map(survivors(assigned))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+        )
+    )
+    members = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    want = _surv_map(kept.join(members, "cluster_id"))
+    assert got == want
