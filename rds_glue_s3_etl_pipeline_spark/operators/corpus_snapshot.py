@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from ..streaming.ops import _write_epoch_partition
 from .graph import connected_components_star
-from .skew import gated_broadcast
+from .skew import BROADCAST_ROW_GATE
 
 
 def write_snapshot_epoch(
@@ -298,13 +298,27 @@ def refresh_snapshot(
         .distinct()
     )
     # affected is blast-radius-bounded (#touched clusters <= #seed
-    # endpoints), but the bound is ENFORCED, not assumed.
-    affected = gated_broadcast(
+    # endpoints), but the bound is ENFORCED, not assumed. One BOUNDED
+    # collect serves the gate AND turns the cluster set into a
+    # driver-local relation (single long column — a safe pandas round
+    # trip): the touched/untouched joins then broadcast it with no
+    # separate build job, and this collect is the action that
+    # materializes the incident-edge checkpoint chain (previously a
+    # limit/count probe + a broadcast build job did the same work).
+    aff = (
         hist.join(seed_ids, "doc_id", "left_semi")
         .select("cluster_id")
         .distinct()
-        .localCheckpoint(eager=False)  # materialized by the gate count
+        .localCheckpoint(eager=False)
     )
+    cl_type = hist.schema["cluster_id"].dataType.simpleString()
+    apdf = aff.limit(BROADCAST_ROW_GATE + 1).toPandas()
+    if len(apdf) <= BROADCAST_ROW_GATE:
+        affected = F.broadcast(
+            spark.createDataFrame(apdf, schema=f"cluster_id {cl_type}")
+        )
+    else:  # over-gate blast radius: fall back to the distributed join
+        affected = aff
     touched = hist.join(affected, "cluster_id", "left_semi")
     untouched = hist.join(affected, "cluster_id", "left_anti")
     star = touched.filter(F.col("doc_id") != F.col("cluster_id")).select(

@@ -73,7 +73,28 @@ def gated_broadcast(df: DataFrame, max_rows: int = BROADCAST_ROW_GATE) -> DataFr
     frame whose recompute lineage is short (checkpointed upstream, as
     the star-contraction cluster maps are) since the probe executes a
     separate job from the join itself.
+
+    Driver-local fast path: a frame whose optimized plan is already a
+    LocalRelation (the CC local union-find's createDataFrame output —
+    the common case at bench scale) has a statically known row count,
+    so the gate costs NO job at all.
     """
+    local_rows = _local_relation_rows(df)
+    if local_rows is not None:
+        return F.broadcast(df) if local_rows <= max_rows else df
     if df.limit(max_rows + 1).count() <= max_rows:
         return F.broadcast(df)
     return df
+
+
+def _local_relation_rows(df: DataFrame) -> int | None:
+    """Row count if ``df``'s optimized plan is a driver-local relation
+    (createDataFrame output), known without running a job; None for
+    anything distributed or on any reflection hiccup."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() == "LocalRelation":
+            return plan.data().size()
+    except Exception:
+        return None
+    return None
